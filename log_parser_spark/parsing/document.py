@@ -38,15 +38,12 @@ def _rec(kind, **kw):
         "line_idx": None,
         "ts": None,
         "kind": kind,
-        "context": None,
-        "orig_ts": None,
         "warn_type": None,
         "code_pos": None,
         "cf": None,
         "job_id": None,
         "name": None,
         "value": None,
-        "dval": None,
         "event_type": None,
         "time_micros": None,
         "payload_json": None,
@@ -757,7 +754,9 @@ class DocumentParser:
         if "SUM" not in rows:
             return
         for key, row in rows.items():
-            self.emit("comp_stats", entry, cf=cf_name, name=key, attrs=row)
+            # payload_json preserves column order (Spark maps do not)
+            self.emit("comp_stats", entry, cf=cf_name, name=key, attrs=row,
+                      payload_json=json.dumps(row))
 
     # stats_mngr.py:551-600
     def _parse_blob_stats(self, entry, cf, lines):
