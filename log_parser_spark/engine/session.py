@@ -38,4 +38,6 @@ def get_spark(app_name: str = "log-parser-spark", cores: int | None = None,
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark

@@ -1,0 +1,165 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale posture: every variant is a shuffle-on-key groupBy/join — no
+driver-side loops, no cross joins.  Candidate generation is always
+bucketed (hash / LSH band / simhash prefix) so the pair space stays
+linear in practice at 100 TB; only within-bucket pairs are compared.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from log_parser_spark.ops.text import tokens_col
+
+
+def exact_dedup(df: DataFrame, key: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct text with the
+    representative (min key) and the duplicate count."""
+    return (df.select(F.md5(F.col(text_col)).alias("content_hash"),
+                      F.col(key))
+            .groupBy("content_hash")
+            .agg(F.min(key).alias("representative"),
+                 F.count("*").alias("n_docs")))
+
+
+def shingles_col(text_col: str = "text", k: int = 3):
+    """Word k-gram shingles as an array column (pure codegen)."""
+    toks = tokens_col(text_col)
+    idx = F.sequence(F.lit(1), F.greatest(F.lit(0), F.size(toks) - (k - 1)))
+    return F.transform(
+        idx, lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(k)]))
+
+
+def minhash_signatures(df: DataFrame, key: str = "doc_id",
+                       text_col: str = "text", num_perm: int = 16,
+                       k: int = 3) -> DataFrame:
+    """MinHash over word-k-gram shingles with `num_perm` xxhash64 seeds,
+    entirely in built-in expressions: shingle -> explode -> groupBy(min)."""
+    sh = (df.select(key, F.explode(
+        F.array_distinct(shingles_col(text_col, k))).alias("shingle")))
+    aggs = [F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(
+        f"mh_{seed}") for seed in range(num_perm)]
+    return sh.groupBy(key).agg(*aggs)
+
+
+def minhash_lsh_pairs(df: DataFrame, key: str = "doc_id",
+                      text_col: str = "text", num_perm: int = 16,
+                      bands: int = 4, k: int = 3) -> DataFrame:
+    """LSH banding: signature -> band buckets -> within-bucket self-join.
+    Returns candidate near-duplicate pairs (a < b) with the fraction of
+    matching minhashes (est. Jaccard)."""
+    rows = num_perm // bands
+    sig = minhash_signatures(df, key, text_col, num_perm, k)
+
+    band_cols = [F.xxhash64(*[F.col(f"mh_{b * rows + r}")
+                              for r in range(rows)],
+                            F.lit(b)).alias(f"band_{b}")
+                 for b in range(bands)]
+    sig = sig.select(key, *[F.col(f"mh_{i}") for i in range(num_perm)],
+                     *band_cols)
+
+    buckets = sig.select(
+        key, F.array(*[F.col(f"mh_{i}") for i in range(num_perm)])
+        .alias("sig"),
+        F.explode(F.array(*[F.struct(
+            F.lit(b).alias("band"), F.col(f"band_{b}").alias("bucket"))
+            for b in range(bands)])).alias("bb"))
+    a = buckets.select(F.col(key).alias("a"), F.col("sig").alias("sig_a"),
+                       "bb")
+    b = buckets.select(F.col(key).alias("b"), F.col("sig").alias("sig_b"),
+                       "bb")
+    pairs = (a.join(b, ["bb"])
+             .filter(F.col("a") < F.col("b"))
+             .dropDuplicates(["a", "b"]))
+    match_frac = (F.size(F.filter(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        lambda v: v == 1)) / F.lit(16)).cast("double")
+    return pairs.select("a", "b",
+                        F.round(match_frac, 4).alias("est_jaccard"))
+
+
+def simhash_col(text_col: str = "text", bits: int = 64):
+    """64-bit SimHash from word tokens: per-token xxhash64, bit-vote via
+    explode + groupBy sum.  Returned by simhash() as a DataFrame op."""
+    raise NotImplementedError("use simhash()")
+
+
+def simhash(df: DataFrame, key: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """SimHash(64): explode tokens, vote per bit, reassemble."""
+    toks = df.select(key, F.explode(tokens_col(text_col)).alias("tok"))
+    toks = toks.withColumn("h", F.xxhash64("tok"))
+    votes = toks.select(
+        key, *[(F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1,
+                       1).otherwise(-1)).alias(f"bit_{i}")
+               for i in range(64)])
+    sums = votes.groupBy(key).agg(
+        *[F.sum(f"bit_{i}").alias(f"bit_{i}") for i in range(64)])
+    sim = None
+    for i in range(64):
+        bit = F.when(F.col(f"bit_{i}") > 0,
+                     F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << i).cast("long") if i < 63 else \
+            F.when(bit == 1, F.lit(-(1 << 63)).cast("long")).otherwise(
+                F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return sums.select(key, sim.alias("simhash"))
+
+
+def ngram_jaccard(df_pairs: DataFrame, left_text: str, right_text: str,
+                  k: int = 3):
+    """Jaccard similarity of word-k-gram shingle sets for pre-paired rows
+    (candidate pairs come from a bucketing stage, never a cross join)."""
+    sa = F.array_distinct(shingles_col(left_text, k))
+    sb = F.array_distinct(shingles_col(right_text, k))
+    inter = F.size(F.array_intersect(sa, sb)).cast("double")
+    union = F.size(F.array_union(sa, sb)).cast("double")
+    return df_pairs.withColumn(
+        "jaccard",
+        F.round(F.when(union > 0, inter / union).otherwise(0.0), 6))
+
+
+def embedding_cosine_dedup(emb: DataFrame, key: str = "vec_id",
+                           vec_col: str = "embedding",
+                           threshold: float = 0.95,
+                           n_bands: int = 8) -> DataFrame:
+    """Near-dup by embedding cosine: random-hyperplane LSH signs bucket
+    candidates, exact cosine filters within buckets."""
+    dim_probe = F.size(F.col(vec_col))
+    emb = emb.withColumn("_dim", dim_probe)
+
+    def sign_bit(b):
+        # pseudo-random hyperplane: weight_i = xxhash64(i, b) scaled
+        prod = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.transform(F.sequence(F.lit(1), F.col("_dim")),
+                            lambda i: (F.xxhash64(i, F.lit(b)) % 1000)
+                            .cast("double") / 500.0 - 1.0),
+                lambda x, w: x.cast("double") * w),
+            F.lit(0.0), lambda acc, v: acc + v)
+        return F.when(prod >= 0, 1).otherwise(0)
+
+    sig = emb.withColumn(
+        "bucket", F.concat_ws("", *[sign_bit(b).cast("string")
+                                    for b in range(n_bands)]))
+    a = sig.select(F.col(key).alias("a"), F.col(vec_col).alias("va"),
+                   "bucket")
+    b = sig.select(F.col(key).alias("b"), F.col(vec_col).alias("vb"),
+                   "bucket")
+    pairs = a.join(b, "bucket").filter(F.col("a") < F.col("b"))
+
+    dot = F.aggregate(F.zip_with("va", "vb",
+                                 lambda x, y: x.cast("double") * y.cast("double")),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform("va", lambda x: x.cast("double") * x.cast("double")),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform("vb", lambda x: x.cast("double") * x.cast("double")),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    return (pairs.withColumn("cosine", F.round(dot / (na * nb), 6))
+            .filter(F.col("cosine") >= threshold)
+            .select("a", "b", "cosine"))
