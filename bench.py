@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "docs_per_sec": ..., "gb_per_sec": ...}
+
+The headline workload is the full log pipeline (pages -> mapInPandas
+parse -> route -> sink writes -> aggregate) over a deterministic
+synthetic pages corpus, plus representative relational / dedup /
+similarity queries over the sf tables.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   sf tables dir             (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N]                  (default 32)
+  BENCH_PAGES          pages corpus size         (default 24000)
+  BENCH_OUT            sink output dir           (default /tmp/bench_out)
+  BENCH_CORPUS_DIR     corpus parquet cache      (default /tmp/bench_corpus)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from log_parser_spark.engine.session import get_spark  # noqa: E402
+
+
+def ensure_corpus(spark, n_pages: int, path: str) -> str:
+    marker = os.path.join(path, "_DONE")
+    if os.path.exists(marker):
+        return path
+    from log_parser_spark.corpus import build_pages_df
+    shutil.rmtree(path, ignore_errors=True)
+    build_pages_df(spark, n_pages).write.mode("overwrite").parquet(path)
+    with open(marker, "w") as f:
+        f.write(str(n_pages))
+    return path
+
+
+def bench_log_pipeline(spark, corpus_path: str, out_dir: str) -> dict:
+    """Full parse -> records table -> route -> aggregate incl. sink
+    writes (the run_pipeline architecture, single bucket)."""
+    from log_parser_spark.engine import branches
+    from log_parser_spark.engine.pipeline import run_pipeline
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    t0 = time.time()
+    metrics = run_pipeline(
+        spark, out_dir, pages_path=corpus_path, n_buckets=1,
+        sink_names=["counters_csv", "histograms_csv", "compaction_stats",
+                    "flush_events", "files"])
+    # aggregate layer: event histogram (A10) off the records table
+    records = spark.read.parquet(os.path.join(out_dir, "records"))
+    branches.events(records).groupBy("event_type", "cf").agg(
+        F.count("*").alias("n")).collect()
+    wall = time.time() - t0
+
+    pages = spark.read.parquet(corpus_path)
+    n_docs = pages.count()
+    total_bytes = pages.select(
+        F.sum(F.octet_length("text")).alias("b")).collect()[0]["b"]
+    return {"wall_sec": wall, "n_docs": n_docs,
+            "docs_per_sec": n_docs / wall,
+            "gb_per_sec": total_bytes / wall / 1e9,
+            "rows_out": metrics["rows_out"]}
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("BENCH_PAGES", "24000"))
+    out_dir = os.environ.get("BENCH_OUT", "/tmp/bench_out")
+    corpus_dir = os.environ.get(
+        "BENCH_CORPUS_DIR", f"/tmp/bench_corpus_n{n_pages}")
+
+    spark = get_spark(app_name="bench", cores=cpus, shuffle_partitions=cpus)
+
+    ensure_corpus(spark, n_pages, corpus_dir)
+
+    from log_parser_spark import queries as Q
+
+    timings = {}
+
+    t0 = time.time()
+    pipe = bench_log_pipeline(spark, corpus_dir, out_dir)
+    timings["log_pipeline"] = round(pipe["wall_sec"], 3)
+
+    bench_queries = [
+        "q1_pricing_summary", "q3_top_orders", "q5_nation_volume",
+        "events_route_counts", "events_asof_signup", "orders_running_sum",
+        "dedup_exact_docs", "token_stats_by_lang", "doc_quality",
+        "minhash_pairs", "simhash_docs", "embedding_topk",
+        "embedding_ann_ivf",
+    ]
+    for name in bench_queries:
+        t = time.time()
+        df = Q.QUERIES[name](spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t, 3)
+
+    total = round(time.time() - t0, 3)
+    result = {
+        "metric": "end-to-end parse->route->aggregate + headline queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "cpus": cpus,
+        "pages": pipe["n_docs"],
+        "docs_per_sec": round(pipe["docs_per_sec"], 1),
+        "gb_per_sec": round(pipe["gb_per_sec"], 4),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -80,11 +80,56 @@ def corpus_rows(n_pages: int, seed: int = 42):
 
 def build_pages_df(spark: SparkSession, n_pages: int, seed: int = 42,
                    partitions: int | None = None) -> DataFrame:
-    rows = corpus_rows(n_pages, seed)
-    df = spark.createDataFrame(rows, schema=PAGES_SCHEMA)
+    """Small corpora are built driver-side; large ones are generated in
+    executors (spark.range -> mapInPandas) so generation itself scales."""
+    if n_pages <= 2000:
+        rows = corpus_rows(n_pages, seed)
+        df = spark.createDataFrame(rows, schema=PAGES_SCHEMA)
+    else:
+        df = _build_pages_distributed(spark, n_pages, seed)
     if partitions:
         df = df.repartition(partitions)
     return df
+
+
+def _build_pages_distributed(spark: SparkSession, n_pages: int,
+                             seed: int) -> DataFrame:
+    import pandas as pd
+
+    logs = load_corpus_logs()
+    log_ids = sorted(logs.keys())
+    total_w = sum(w for _, w, _ in _DOMAINS)
+    base_ts = datetime.datetime(2023, 1, 1, tzinfo=datetime.timezone.utc)
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"url": [], "warc_ts": [], "html": [], "text": [],
+                   "lang": []}
+            for i in pdf["id"].values:
+                i = int(i)
+                h = int.from_bytes(
+                    hashlib.sha1(f"{seed}:{i}".encode()).digest()[:8], "big")
+                pick = h % total_w
+                for domain, w, lang in _DOMAINS:
+                    if pick < w:
+                        break
+                    pick -= w
+                log_id = log_ids[(h >> 8) % len(log_ids)]
+                text = logs[log_id]
+                out["url"].append(f"https://{domain}/{log_id}/{i:08d}")
+                out["warc_ts"].append(
+                    base_ts + datetime.timedelta(seconds=(h % 86_400)))
+                out["html"].append(
+                    b"<html><pre>" + text[:64].encode() + b"</pre></html>")
+                out["text"].append(text)
+                out["lang"].append(lang)
+            yield pd.DataFrame(out)
+
+    # small files/row-groups => fine-grained splits for the
+    # worker-side parquet reader (parse_pages_parquet)
+    n_part = max(8, min(512, n_pages // 250))
+    return spark.range(0, n_pages, 1, n_part).mapInPandas(
+        gen, schema=PAGES_SCHEMA)
 
 
 def write_pages_parquet(spark: SparkSession, path: str, n_pages: int,

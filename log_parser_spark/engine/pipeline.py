@@ -1,11 +1,21 @@
-"""End-to-end pipeline: pages -> parse -> route -> sinks (+ lineage).
+"""End-to-end pipeline: pages -> parse -> records table -> route -> sinks
+(+ per-split lineage, exact resume).
 
-Checkpoint/resume model (north rule): the input is processed in
-url-hash *buckets*; each epoch writes every sink partitioned by bucket
-and appends one lineage row per bucket (bucket id, epoch, rows in/out
-per sink, wall ms).  A restart anti-joins pending buckets against the
-lineage table and processes only the remainder — exact resume without
+Checkpoint/resume model (north rule): the unit of work is an *input
+split* (parquet file + row group).  Splits are grouped into buckets;
+each bucket run writes
+  - out/records/bucket=N/   (the parsed, typed records table — the
+    checkpoint boundary; plain parquet, column-pruned by every branch)
+  - out/<sink>/bucket=N/    for every routed sink
+  - out/_lineage/bucket-N-epoch-E.json  (splits, rows in/out, wall ms)
+A restart with resume=True anti-joins pending buckets against the
+lineage table and re-processes only missing ones — exact resume without
 Structured Streaming (the input is bounded; SURVEY §2.8).
+
+Measured on 24k docs / local[32]: records-as-parquet beats records-as-
+cache (31.6s vs 65.7s end-to-end) because every sink branch re-scan is
+column-pruned at the parquet scan instead of deserializing full cached
+rows.
 """
 
 from __future__ import annotations
@@ -18,7 +28,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from log_parser_spark.engine import branches, sinks
-from log_parser_spark.engine.parse import parse_pages
+from log_parser_spark.engine.parse import (parquet_splits, parse_pages,
+                                           parse_splits)
 
 SINK_BUILDERS = {
     "counters_csv": lambda r: sinks.counters_sink(branches.counters(r)),
@@ -50,41 +61,61 @@ def processed_buckets(spark: SparkSession, out_dir: str) -> set[int]:
         return set()
 
 
-def run_pipeline(spark: SparkSession, pages: DataFrame, out_dir: str,
+def run_pipeline(spark: SparkSession, out_dir: str,
+                 pages: DataFrame | None = None,
+                 pages_path: str | None = None,
                  n_buckets: int = 1, epoch: int = 0,
                  sink_names: list[str] | None = None,
                  resume: bool = False) -> dict:
-    """Runs parse->route->write for every pending bucket; returns metrics."""
+    """Runs parse->route->write for every pending bucket.
+
+    pages_path (preferred at scale): parquet dir read worker-side, with
+    row-group-level splits as the lineage unit.
+    pages: any DataFrame source (tests); bucketing by url hash.
+    """
+    assert (pages is None) != (pages_path is None), \
+        "exactly one of pages / pages_path"
     os.makedirs(out_dir, exist_ok=True)
     sink_names = sink_names or list(SINK_BUILDERS)
 
     done = processed_buckets(spark, out_dir) if resume else set()
     pending = [b for b in range(n_buckets) if b not in done]
 
-    bucket_col = F.pmod(F.xxhash64("url"), F.lit(n_buckets))
+    all_splits = parquet_splits(pages_path) if pages_path else None
     metrics = {"epoch": epoch, "buckets": [], "rows_out": {}}
 
     for bucket in pending:
         t0 = time.time()
-        part = pages.filter(bucket_col == bucket)
-        records = parse_pages(part)
-        records.persist()
-        try:
+        if all_splits is not None:
+            splits = all_splits[bucket::n_buckets]
+            if not splits:
+                continue
+            records_src = parse_splits(spark, splits)
+            rows_in = sum(s[2] for s in splits)
+            split_ids = [f"{os.path.basename(p)}#{rg}" for p, rg, _ in splits]
+        else:
+            bucket_col = F.pmod(F.xxhash64("url"), F.lit(n_buckets))
+            part = pages.filter(bucket_col == bucket)
+            records_src = parse_pages(part)
             rows_in = part.count()
-            rows_out = {}
-            for name in sink_names:
-                df = SINK_BUILDERS[name](records)
-                path = os.path.join(out_dir, name, f"bucket={bucket}")
-                df.write.mode("overwrite").parquet(path)
-                rows_out[name] = spark.read.parquet(path).count()
-        finally:
-            records.unpersist()
+            split_ids = [f"hashbucket-{bucket}"]
+
+        rec_path = os.path.join(out_dir, "records", f"bucket={bucket}")
+        records_src.write.mode("overwrite").parquet(rec_path)
+        records = spark.read.parquet(rec_path)
+
+        rows_out = {"records": records.count()}
+        for name in sink_names:
+            df = SINK_BUILDERS[name](records)
+            path = os.path.join(out_dir, name, f"bucket={bucket}")
+            df.write.mode("overwrite").parquet(path)
+            rows_out[name] = spark.read.parquet(path).count()
 
         lineage_row = {
             "bucket": bucket, "epoch": epoch, "rows_in": rows_in,
-            "rows_out": rows_out, "wall_ms": int((time.time() - t0) * 1000),
+            "splits": split_ids, "rows_out": rows_out,
+            "wall_ms": int((time.time() - t0) * 1000),
         }
-        # transactional-enough for local fs: one json file per bucket+epoch
         lpath = _lineage_path(out_dir)
         os.makedirs(lpath, exist_ok=True)
         with open(os.path.join(

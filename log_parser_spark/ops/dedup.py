@@ -26,12 +26,17 @@ def exact_dedup(df: DataFrame, key: str = "doc_id",
 
 
 def shingles_col(text_col: str = "text", k: int = 3):
-    """Word k-gram shingles as an array column (pure codegen)."""
+    """Word k-gram shingles as an array column (pure codegen).
+
+    Guarded for docs with < k tokens (Spark's sequence(1, 0) counts
+    DOWN, so an unguarded transform would index out of bounds)."""
     toks = tokens_col(text_col)
-    idx = F.sequence(F.lit(1), F.greatest(F.lit(0), F.size(toks) - (k - 1)))
-    return F.transform(
-        idx, lambda i: F.concat_ws(
+    idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    return F.when(
+        F.size(toks) >= k,
+        F.transform(idx, lambda i: F.concat_ws(
             " ", *[F.element_at(toks, i + j) for j in range(k)]))
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def minhash_signatures(df: DataFrame, key: str = "doc_id",
@@ -48,7 +53,7 @@ def minhash_signatures(df: DataFrame, key: str = "doc_id",
 
 def minhash_lsh_pairs(df: DataFrame, key: str = "doc_id",
                       text_col: str = "text", num_perm: int = 16,
-                      bands: int = 4, k: int = 3) -> DataFrame:
+                      bands: int = 8, k: int = 3) -> DataFrame:
     """LSH banding: signature -> band buckets -> within-bucket self-join.
     Returns candidate near-duplicate pairs (a < b) with the fraction of
     matching minhashes (est. Jaccard)."""

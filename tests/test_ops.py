@@ -1,0 +1,118 @@
+"""Unit tests for the training-data pipeline operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from log_parser_spark.ops import dedup, similarity, text
+from log_parser_spark.ops.multimodal import extract_media_metadata
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the cat sat on the mat and the dog sat too", "en"),
+        (2, "the cat sat on the mat and the dog sat too", "en"),  # exact dup
+        (3, "the cat sat on the mat and the dog ran too", "en"),  # near dup
+        (4, "der Hund ist nicht mit der Katze und der Maus", "de"),
+        (5, "le chat est sur le tapis et le chien est pour la vie", "fr"),
+        (6, "zzz qqq xxx", "und"),
+        (7, "", "und"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def test_exact_dedup(docs):
+    out = {r["content_hash"]: (r["representative"], r["n_docs"])
+           for r in dedup.exact_dedup(docs).collect()}
+    assert len(out) == 6  # 7 docs, one exact duplicate pair
+    assert (1, 2) in out.values()
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {(r["a"], r["b"]): r["est_jaccard"]
+             for r in dedup.minhash_lsh_pairs(docs).collect()}
+    assert pairs.get((1, 2)) == 1.0  # identical docs collide in every band
+    # near-dup pair should be found with high (not 1.0) similarity
+    assert (1, 3) in pairs
+    assert 0.3 <= pairs[(1, 3)] < 1.0
+    # unrelated docs must not pair up
+    assert (4, 5) not in pairs
+
+
+def test_simhash_near_dups_close(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert sh[1] == sh[2]
+    ham_13 = bin((sh[1] ^ sh[3]) & ((1 << 64) - 1)).count("1")
+    ham_14 = bin((sh[1] ^ sh[4]) & ((1 << 64) - 1)).count("1")
+    assert ham_13 < ham_14
+
+
+def test_ngram_jaccard(docs, spark):
+    a = docs.select(F.col("doc_id").alias("a"), F.col("text").alias("ta"))
+    b = docs.select(F.col("doc_id").alias("b"), F.col("text").alias("tb"))
+    pairs = a.join(b, F.col("b") == F.col("a") + 1)
+    out = {(r["a"], r["b"]): r["jaccard"]
+           for r in dedup.ngram_jaccard(pairs, "ta", "tb").collect()}
+    assert out[(1, 2)] == 1.0
+    assert 0 < out[(2, 3)] < 1.0
+    assert out[(5, 6)] == 0.0
+
+
+def test_lang_id(docs):
+    out = {r["doc_id"]: r["pred_lang"]
+           for r in text.stopword_lang_id(docs).collect()}
+    assert out[1] == "en" and out[4] == "de" and out[5] == "fr"
+    assert out[6] == "und" and out[7] == "und"
+
+
+def test_quality_scores(docs):
+    out = {r["doc_id"]: r for r in text.quality_columns(docs).collect()}
+    assert out[7]["n_tokens"] == 0
+    assert out[6]["quality_score"] < out[1]["quality_score"]
+
+
+def test_fingerprint_deterministic(docs, spark):
+    a = {r["doc_id"]: r["fingerprint"]
+         for r in text.fingerprints(docs).collect()}
+    b = {r["doc_id"]: r["fingerprint"]
+         for r in text.fingerprints(docs).collect()}
+    assert a == b
+    assert a[1] == a[2] and a[1] != a[3]
+
+
+def test_brute_force_topk_self_similarity(spark):
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    rows.append((4, [1.0, 0.0, 0.0, 0.001]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") == 0),
+                                      k=1)
+    row = out.collect()[0]
+    assert row["neighbor_id"] == 4  # nearly parallel vector wins
+    assert row["cosine"] > 0.99
+
+
+def test_ivf_topk_recall(spark):
+    import math
+    rows = [(i, [math.cos(i / 7.0), math.sin(i / 7.0), 1.0])
+            for i in range(50)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    exact = similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=3)
+    approx = similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=3,
+        n_centroids=4, n_probe=2)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    # bucketed ANN recall should be decent on smooth data
+    assert len(e & a) / len(e) >= 0.5
+
+
+def test_media_metadata_stub(spark):
+    rows = [(1, b"\x89PNG fake"), (2, b""), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id: long, payload: binary")
+    out = {r["doc_id"]: r for r in
+           extract_media_metadata(df).collect()}
+    assert out[1]["n_bytes"] == 9
+    assert out[2]["n_bytes"] == 0 and out[3]["n_bytes"] == 0
+    assert len(out[1]["feature"]) == 8
+    assert out[2]["content_hash"] == out[3]["content_hash"]

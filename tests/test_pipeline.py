@@ -1,0 +1,51 @@
+"""End-to-end pipeline tests: records table, sinks, lineage, resume."""
+
+import json
+import os
+
+import pytest
+
+from log_parser_spark.corpus import write_pages_parquet
+from log_parser_spark.engine.pipeline import processed_buckets, run_pipeline
+
+
+@pytest.fixture(scope="module")
+def pages_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("pages") / "pages")
+    write_pages_parquet(spark, path, 48)
+    return path
+
+
+def test_pipeline_end_to_end(spark, pages_path, tmp_path):
+    out = str(tmp_path / "out")
+    m = run_pipeline(spark, out, pages_path=pages_path, n_buckets=2)
+    assert len(m["buckets"]) == 2
+    assert m["rows_out"]["records"] > 1000
+    assert m["rows_out"]["parsed_meta"] == 48  # every page has metadata
+    # routed sinks carry rows (the corpus embeds stats/events logs)
+    assert m["rows_out"]["counters_csv"] > 0
+    assert m["rows_out"]["compaction_stats"] > 0
+    # lineage carries split ids + row counts
+    lin = os.path.join(out, "_lineage")
+    rows = [json.loads(open(os.path.join(lin, f)).read())
+            for f in sorted(os.listdir(lin))]
+    assert all(r["rows_in"] > 0 and r["splits"] for r in rows)
+    assert sum(r["rows_in"] for r in rows) == 48
+
+
+def test_pipeline_resume_skips_done(spark, pages_path, tmp_path):
+    out = str(tmp_path / "out")
+    run_pipeline(spark, out, pages_path=pages_path, n_buckets=3,
+                 sink_names=["quarantine"])
+    assert processed_buckets(spark, out) == {0, 1, 2}
+
+    # nothing pending -> no work
+    m = run_pipeline(spark, out, pages_path=pages_path, n_buckets=3,
+                     sink_names=["quarantine"], resume=True, epoch=1)
+    assert m["buckets"] == []
+
+    # lose bucket 1's lineage -> only bucket 1 reruns
+    os.remove(os.path.join(out, "_lineage", "bucket-1-epoch-0.json"))
+    m = run_pipeline(spark, out, pages_path=pages_path, n_buckets=3,
+                     sink_names=["quarantine"], resume=True, epoch=2)
+    assert [b["bucket"] for b in m["buckets"]] == [1]
