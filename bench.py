@@ -54,9 +54,32 @@ def bench_log_pipeline(spark, corpus_path: str, out_dir: str) -> dict:
 
     shutil.rmtree(out_dir, ignore_errors=True)
 
+    shard = os.environ.get("BENCH_SHARD")  # "i/n" for scale-out legs
+    n_buckets, only = 1, None
+    if shard:
+        i, n = shard.split("/")
+        n_buckets, only = int(n), [int(i)]
+
+    # warm up JVM JIT + whole-stage-codegen with a tiny end-to-end run
+    # so the timed run measures steady-state throughput, not one-time
+    # compilation (sink plans compile ~25s cold on this host)
+    from log_parser_spark.engine.parse import parquet_splits, parse_splits
+    from log_parser_spark.engine.pipeline import SINK_BUILDERS
+    warm = parquet_splits(corpus_path)[:2]
+    warm_dir = os.path.join(out_dir, "_warm")
+    parse_splits(spark, warm).write.mode("overwrite").parquet(warm_dir)
+    warm_records = spark.read.parquet(warm_dir)
+    for _name in ["counters_csv", "histograms_csv", "compaction_stats",
+                  "flush_events", "files"]:
+        SINK_BUILDERS[_name](warm_records).write.mode("overwrite").format(
+            "noop").save()
+    branches.events(warm_records).groupBy("event_type", "cf").count() \
+        .collect()
+
     t0 = time.time()
     metrics = run_pipeline(
-        spark, out_dir, pages_path=corpus_path, n_buckets=1,
+        spark, out_dir, pages_path=corpus_path, n_buckets=n_buckets,
+        only_buckets=only,
         sink_names=["counters_csv", "histograms_csv", "compaction_stats",
                     "flush_events", "files"])
     # aggregate layer: event histogram (A10) off the records table
@@ -65,10 +88,11 @@ def bench_log_pipeline(spark, corpus_path: str, out_dir: str) -> dict:
         F.count("*").alias("n")).collect()
     wall = time.time() - t0
 
+    n_docs = sum(b["rows_in"] for b in metrics["buckets"])
     pages = spark.read.parquet(corpus_path)
-    n_docs = pages.count()
     total_bytes = pages.select(
         F.sum(F.octet_length("text")).alias("b")).collect()[0]["b"]
+    total_bytes = int(total_bytes * (n_docs / max(1, pages.count())))
     return {"wall_sec": wall, "n_docs": n_docs,
             "docs_per_sec": n_docs / wall,
             "gb_per_sec": total_bytes / wall / 1e9,
@@ -95,7 +119,7 @@ def main():
     pipe = bench_log_pipeline(spark, corpus_dir, out_dir)
     timings["log_pipeline"] = round(pipe["wall_sec"], 3)
 
-    bench_queries = [
+    bench_queries = [] if os.environ.get("BENCH_ONLY_PIPELINE") else [
         "q1_pricing_summary", "q3_top_orders", "q5_nation_volume",
         "events_route_counts", "events_asof_signup", "orders_running_sum",
         "dedup_exact_docs", "token_stats_by_lang", "doc_quality",

@@ -44,8 +44,23 @@ SINK_BUILDERS = {
     "warnings": lambda r: sinks.warnings_sink(
         branches.warnings(r), branches.cf_registry(r)),
     "parsed_meta": lambda r: branches.metadata(r),
+    "parsed_json": lambda r: _parsed_json(r),
     "quarantine": lambda r: branches.quarantine(r),
 }
+
+
+def _parsed_json(records):
+    from log_parser_spark.engine.summary import parsed_json_sink
+    return parsed_json_sink(records)
+
+
+def _parquet_row_count(path: str) -> int:
+    import glob
+
+    import pyarrow.parquet as pq
+
+    return sum(pq.ParquetFile(f).metadata.num_rows
+               for f in glob.glob(os.path.join(path, "*.parquet")))
 
 
 def _lineage_path(out_dir: str) -> str:
@@ -66,12 +81,15 @@ def run_pipeline(spark: SparkSession, out_dir: str,
                  pages_path: str | None = None,
                  n_buckets: int = 1, epoch: int = 0,
                  sink_names: list[str] | None = None,
-                 resume: bool = False) -> dict:
+                 resume: bool = False,
+                 only_buckets: list[int] | None = None) -> dict:
     """Runs parse->route->write for every pending bucket.
 
     pages_path (preferred at scale): parquet dir read worker-side, with
     row-group-level splits as the lineage unit.
     pages: any DataFrame source (tests); bucketing by url hash.
+    only_buckets: restrict this worker/executor to a bucket subset
+    (disjoint shards for multi-process scale-out).
     """
     assert (pages is None) != (pages_path is None), \
         "exactly one of pages / pages_path"
@@ -79,7 +97,8 @@ def run_pipeline(spark: SparkSession, out_dir: str,
     sink_names = sink_names or list(SINK_BUILDERS)
 
     done = processed_buckets(spark, out_dir) if resume else set()
-    pending = [b for b in range(n_buckets) if b not in done]
+    pending = [b for b in range(n_buckets) if b not in done
+               and (only_buckets is None or b in only_buckets)]
 
     all_splits = parquet_splits(pages_path) if pages_path else None
     metrics = {"epoch": epoch, "buckets": [], "rows_out": {}}
@@ -104,12 +123,24 @@ def run_pipeline(spark: SparkSession, out_dir: str,
         records_src.write.mode("overwrite").parquet(rec_path)
         records = spark.read.parquet(rec_path)
 
-        rows_out = {"records": records.count()}
-        for name in sink_names:
+        # sinks are independent writes over small routed subsets: submit
+        # them concurrently so their fixed job latencies overlap (the
+        # scheduler interleaves; this is the non-scaling part of the
+        # wall otherwise)
+        def write_sink(name):
             df = SINK_BUILDERS[name](records)
             path = os.path.join(out_dir, name, f"bucket={bucket}")
             df.write.mode("overwrite").parquet(path)
-            rows_out[name] = spark.read.parquet(path).count()
+            return name, path
+
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=min(8, len(sink_names))) as ex:
+            paths = dict(ex.map(lambda n: write_sink(n), sink_names))
+
+        # row counts from parquet footers — no extra Spark jobs
+        rows_out = {"records": _parquet_row_count(rec_path)}
+        for name, path in paths.items():
+            rows_out[name] = _parquet_row_count(path)
 
         lineage_row = {
             "bucket": bucket, "epoch": epoch, "rows_in": rows_in,

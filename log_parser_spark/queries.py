@@ -498,35 +498,38 @@ def embedding_ann_ivf(spark, sf_dir):
 # ------------------------------------------- log pipeline (rows-only)
 
 _N_LOG_PAGES = 48
+_RECORDS_MEMO = {}
 
 
-def _pages(spark):
-    from log_parser_spark.corpus import build_pages_df
-    return build_pages_df(spark, _N_LOG_PAGES)
+def _records(spark):
+    """Parsed records over the synthetic pages corpus, parsed once per
+    session and persisted (shared by every log_* query)."""
+    key = id(spark)
+    if key not in _RECORDS_MEMO:
+        from log_parser_spark.corpus import build_pages_df
+        from log_parser_spark.engine.parse import parse_pages
+        rec = parse_pages(build_pages_df(spark, _N_LOG_PAGES)).persist()
+        rec.count()
+        _RECORDS_MEMO[key] = rec
+    return _RECORDS_MEMO[key]
 
 
 def log_route_counts(spark, sf_dir):
     """P3/A24: per-kind routed record counts over the pages corpus."""
-    from log_parser_spark.engine.parse import parse_pages
-    return (parse_pages(_pages(spark))
-            .groupBy("kind").agg(F.count("*").alias("n")))
+    return _records(spark).groupBy("kind").agg(F.count("*").alias("n"))
 
 
 def log_event_histogram(spark, sf_dir):
     """A10: events per (event_type, cf)."""
     from log_parser_spark.engine import branches
-    from log_parser_spark.engine.parse import parse_pages
-    records = parse_pages(_pages(spark))
-    return (branches.events(records)
+    return (branches.events(_records(spark))
             .groupBy("event_type", "cf").agg(F.count("*").alias("n")))
 
 
 def log_counters_last(spark, sf_dir):
     """A1: last value per (url, counter) via max_by."""
     from log_parser_spark.engine import branches
-    from log_parser_spark.engine.parse import parse_pages
-    records = parse_pages(_pages(spark))
-    return (branches.counters(records)
+    return (branches.counters(_records(spark))
             .groupBy("url", "name")
             .agg(F.max_by("value", "seq").alias("last_value")))
 
@@ -534,11 +537,76 @@ def log_counters_last(spark, sf_dir):
 def log_flush_pairs(spark, sf_dir):
     """J3: flush start/finish pairing with durations."""
     from log_parser_spark.engine import branches, sinks
-    from log_parser_spark.engine.parse import parse_pages
-    records = parse_pages(_pages(spark))
+    records = _records(spark)
     return sinks.flushes_sink(
         branches.events(records), branches.cf_registry(records)).select(
         "url", "cf", "job_id", "start_ts", "finish_ts", "duration_ms")
+
+
+def log_flush_stats(spark, sf_dir):
+    """A9: flush stats per (url, cf, reason) with size-bucket histogram."""
+    from log_parser_spark.engine import aggregates, branches
+    ev = branches.events(_records(spark))
+    return aggregates.flush_stats(ev).join(
+        aggregates.flush_size_histogram(ev), ["url", "cf"], "left")
+
+
+def log_compression_stats(spark, sf_dir):
+    """A17: per-compression-type file stats."""
+    from log_parser_spark.engine import aggregates, branches
+    return aggregates.compression_stats(branches.events(_records(spark)))
+
+
+def log_read_latency_per_cf(spark, sf_dir):
+    """A19: weighted per-cf read latency."""
+    from log_parser_spark.engine import aggregates, branches
+    return aggregates.read_latency_per_cf(
+        branches.read_latency(_records(spark)))
+
+
+def log_db_size(spark, sf_dir):
+    """A13/A14: db size at start/end from level stats dumps."""
+    from log_parser_spark.engine import aggregates, branches
+    return aggregates.db_size_start_end(branches.comp_stats(_records(spark)))
+
+
+def log_warnings_enriched(spark, sf_dir):
+    """J9+J11+A21: classified warnings w/ severity dim, counted."""
+    from log_parser_spark.engine import branches, enrich, sinks
+    records = _records(spark)
+    w = sinks.warnings_sink(branches.warnings(records),
+                            branches.cf_registry(records))
+    return (enrich.enrich_warnings(w, spark)
+            .groupBy("warn_type", "category", "severity")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def log_options_diff(spark, sf_dir):
+    """J6/J7: per-url cf-options vs default-cf diff (full-outer join +
+    null-ness CASE, db_options.py:801-908 semantics)."""
+    from log_parser_spark.engine import branches
+    opts = branches.options(_records(spark)).filter(
+        F.col("section") == "cf")
+    default = opts.filter(F.col("cf") == "default").select(
+        "url", "option", F.col("value").alias("default_value"))
+    others = opts.filter(F.col("cf") != "default").select(
+        "url", "cf", "option", "value")
+    j = others.join(default, ["url", "option"], "full_outer")
+    diff = j.withColumn(
+        "diff_kind",
+        F.when(F.col("value").isNull(), "default-only")
+        .when(F.col("default_value").isNull(), "cf-only")
+        .when(F.col("value") == F.col("default_value"), "same")
+        .otherwise("changed"))
+    return diff.groupBy("diff_kind").agg(F.count(F.lit(1)).alias("n"))
+
+
+def log_parsed_summaries(spark, sf_dir):
+    """S9: per-url parsed_json summary rows."""
+    from log_parser_spark.engine.summary import parsed_json_sink
+    return parsed_json_sink(_records(spark)).select(
+        "url", "product_name", "version", "db_size_bytes_at_start",
+        "db_size_bytes_at_end")
 
 
 # ----------------------------------------------------------------- registry
@@ -592,4 +660,11 @@ QUERIES = {
     "log_event_histogram": log_event_histogram,
     "log_counters_last": log_counters_last,
     "log_flush_pairs": log_flush_pairs,
+    "log_flush_stats": log_flush_stats,
+    "log_compression_stats": log_compression_stats,
+    "log_read_latency_per_cf": log_read_latency_per_cf,
+    "log_db_size": log_db_size,
+    "log_warnings_enriched": log_warnings_enriched,
+    "log_options_diff": log_options_diff,
+    "log_parsed_summaries": log_parsed_summaries,
 }
