@@ -601,6 +601,25 @@ def log_options_diff(spark, sf_dir):
     return diff.groupBy("diff_kind").agg(F.count(F.lit(1)).alias("n"))
 
 
+def log_options_vs_baseline(spark, sf_dir):
+    """J6/J10/P24: db-wide options diffed against the nearest
+    version-baseline log (sanitized compare), counted per diff kind."""
+    from log_parser_spark.engine import branches, options_diff
+    records = _records(spark)
+    diff = options_diff.options_vs_baseline_diff(
+        branches.options(records), branches.metadata(records), spark,
+        section="db_wide")
+    return diff.groupBy("diff_kind").agg(F.count(F.lit(1)).alias("n"))
+
+
+def log_options_common_unique(spark, sf_dir):
+    """J7: per-url common-vs-unique cf options factoring, counted."""
+    from log_parser_spark.engine import branches, options_diff
+    out = options_diff.common_vs_unique_cf_options(
+        branches.options(_records(spark)))
+    return out.groupBy("scope").agg(F.count(F.lit(1)).alias("n"))
+
+
 def log_parsed_summaries(spark, sf_dir):
     """S9: per-url parsed_json summary rows."""
     from log_parser_spark.engine.summary import parsed_json_sink
@@ -666,5 +685,7 @@ QUERIES = {
     "log_db_size": log_db_size,
     "log_warnings_enriched": log_warnings_enriched,
     "log_options_diff": log_options_diff,
+    "log_options_vs_baseline": log_options_vs_baseline,
+    "log_options_common_unique": log_options_common_unique,
     "log_parsed_summaries": log_parsed_summaries,
 }
