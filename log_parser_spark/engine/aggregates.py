@@ -332,3 +332,79 @@ def stall_totals(db_stats_stalls: DataFrame) -> DataFrame:
         F.max("cumulative_duration_ms").alias("max_cumulative_stall_ms"),
         F.sum("interval_duration_ms").alias("total_interval_stall_ms"),
         F.count("*").alias("n_stall_samples"))
+
+
+# -- A20: read density per level ---------------------------------------------
+
+def read_density_per_level(comp_stats: DataFrame,
+                           read_latency: DataFrame) -> DataFrame:
+    """calc_utils.py:866-932: per (url, cf, level):
+    read_norm = level reads / cf reads (last read-latency dump),
+    size_norm = level size / cf size (last compaction-stats dump),
+    density = read_norm / size_norm, re-normalized so densities sum to 1.
+    """
+    # last read-latency dump per (url, cf, level)
+    last_reads = read_latency.groupBy("url", "cf", "level").agg(
+        F.max_by("count", "seq").alias("level_reads"))
+    w_cf = Window.partitionBy("url", "cf")
+    reads = last_reads.withColumn(
+        "cf_reads", F.sum("level_reads").over(w_cf))
+
+    # last compaction-stats dump per (url, cf, level)
+    fl = comp_stats_first_last(comp_stats)
+    level_sizes = fl.filter(F.col("level_key").startswith("LEVEL-")).select(
+        "url", "cf",
+        F.regexp_extract("level_key", r"LEVEL-(\d+)", 1).cast("long")
+        .alias("level"),
+        F.col("last.size_bytes").alias("level_size"))
+    cf_sizes = fl.filter(F.col("level_key") == "SUM").select(
+        "url", "cf", F.col("last.size_bytes").alias("cf_size"))
+
+    j = (reads.join(level_sizes, ["url", "cf", "level"], "inner")
+         .join(cf_sizes, ["url", "cf"], "inner")
+         .filter((F.col("cf_reads") > 0) & (F.col("cf_size") > 0)
+                 & (F.col("level_size") > 0)))
+    density = j.withColumn(
+        "density",
+        (F.col("level_reads") / F.col("cf_reads"))
+        / (F.col("level_size") / F.col("cf_size")))
+    total = Window.partitionBy("url", "cf")
+    return density.withColumn(
+        "weighted_density",
+        F.round(F.col("density") / F.sum("density").over(total), 6)).select(
+        "url", "cf", "level", "level_reads", "level_size",
+        F.round("density", 6).alias("density"), "weighted_density")
+
+
+# -- A22: block-cache stats assembly ------------------------------------------
+
+def block_cache_assembly(block_cache: DataFrame,
+                         counters: DataFrame) -> DataFrame:
+    """cache_utils.py:98-232: per (url, cache_id): capacity, last usage,
+    per-role last sizes, plus the last values of the block-cache
+    counters."""
+    cap = (block_cache.filter(F.col("row") == "capacity")
+           .groupBy("url", "cache_id")
+           .agg(F.max_by("capacity", "seq").alias("capacity")))
+    usage = (block_cache.filter(F.col("row") == "usage")
+             .groupBy("url", "cache_id")
+             .agg(F.max_by("usage", "seq").alias("last_usage")))
+    roles = (block_cache.filter(F.col("row") == "role")
+             .groupBy("url", "cache_id", "role")
+             .agg(F.max_by("size", "seq").alias("size"),
+                  F.max_by("count", "seq").alias("count")))
+    roles_map = roles.groupBy("url", "cache_id").agg(
+        F.map_from_entries(F.sort_array(F.collect_list(F.struct(
+            "role", F.struct("size", "count"))))).alias("roles"))
+
+    cache_counters = counters.filter(
+        F.col("name").startswith("rocksdb.block.cache."))
+    last_counters = (cache_counters.groupBy("url", "name")
+                     .agg(F.max_by("value", "seq").alias("v"))
+                     .groupBy("url")
+                     .agg(F.map_from_entries(F.sort_array(F.collect_list(
+                         F.struct("name", "v")))).alias("cache_counters")))
+
+    return (cap.join(usage, ["url", "cache_id"], "left")
+            .join(roles_map, ["url", "cache_id"], "left")
+            .join(last_counters, ["url"], "left"))

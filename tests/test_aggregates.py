@@ -107,3 +107,35 @@ def test_parsed_json_summary(records, spark):
     assert sample["version"] == "6.22.1"
     assert sample["summary_json"].startswith("{")
     assert sample["db_size_bytes_at_start"] is not None
+
+
+def test_read_density_synthetic(spark):
+    # two levels: level 0 holds 10% of bytes but 50% of reads -> much
+    # denser than level 1 (calc_utils.py:866-932 semantics)
+    rl = spark.createDataFrame(
+        [("u", "cf1", 0, 50, 0), ("u", "cf1", 1, 50, 1)],
+        "url string, cf string, level long, count long, seq long")
+    cs = spark.createDataFrame(
+        [("u", "t0", "cf1", "LEVEL-0", {"size_bytes": "100"}, 0),
+         ("u", "t0", "cf1", "LEVEL-1", {"size_bytes": "900"}, 1),
+         ("u", "t0", "cf1", "SUM", {"size_bytes": "1000"}, 2)],
+        "url string, ts string, cf string, level_key string, "
+        "attrs map<string,string>, seq long")
+    out = {r["level"]: r for r in
+           A.read_density_per_level(cs, rl).collect()}
+    assert out[0]["density"] == 5.0 and out[1]["density"] == \
+        pytest.approx(0.5556, abs=1e-3)
+    assert out[0]["weighted_density"] + out[1]["weighted_density"] == \
+        pytest.approx(1.0)
+
+
+def test_block_cache_assembly(records):
+    out = A.block_cache_assembly(
+        branches.block_cache(records),
+        branches.counters(records)).collect()
+    assert out
+    for r in out:
+        assert r["capacity"] > 0
+        assert r["cache_counters"] is None or \
+            all(k.startswith("rocksdb.block.cache.")
+                for k in r["cache_counters"])
