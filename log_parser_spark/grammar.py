@@ -135,7 +135,13 @@ COMPACTION_JOB_FINISH_STATS_LINE = (
 )
 
 # -- memory reporting (regexes.py:113-120) --
+MEM_REP_USAGE = r"(?P<usage>.*)"
 MEM_REP_TITLE = fr"^{WS}\*\* Memory Reporting \*\*{WS}$"
+MEM_REP_ARENA_STATS_TITLE = "Arena Stats:"
+MEM_REP_CFS_STATS_TITLE = "CF Stats:"
+MEM_REP_TOTAL_LINE = fr"Total: {MEM_REP_USAGE}"
+MEM_REP_CF_USAGE_LINE = fr"{CF_NAME}: {MEM_REP_USAGE}$"
+MEM_REP_ENTITY_USAGE_LINE = fr"(?P<entity>.*?): {MEM_REP_USAGE}$"
 
 
 class _Compiled:

@@ -924,15 +924,73 @@ class DocumentParser:
         self.entry_idx += 1
         return True
 
-    # -- memory reporting (mem_rep_parser.py) --------------------------------
+    # -- memory reporting (mem_rep_parser.py:25-160) --------------------------
     def try_mem_rep(self) -> bool:
         e = self.cur()
         lines = e.get_msg_lines()
+        while lines and not lines[0]:
+            lines = lines[1:]
         if not lines or not g.compiled(g.MEM_REP_TITLE).fullmatch(lines[0]):
             return False
-        self.emit("memrep", e, msg=e.get_msg())
+        try:
+            self._parse_mem_rep(e, lines)
+        except ValueError:
+            pass  # reference logs + skips the whole entry, still consumed
         self.entry_idx += 1
         return True
+
+    def _parse_mem_rep(self, e, lines):
+        total_re = g.compiled(g.MEM_REP_TOTAL_LINE)
+        entity_re = g.compiled(g.MEM_REP_ENTITY_USAGE_LINE)
+        cf_re = g.compiled(g.MEM_REP_CF_USAGE_LINE)
+        records: list[tuple] = []
+
+        idx = 1
+        if idx >= len(lines) or lines[idx].strip() != \
+                g.MEM_REP_ARENA_STATS_TITLE:
+            raise ValueError("missing arena title")
+        idx += 1
+        m = total_re.fullmatch(lines[idx].strip()) if idx < len(lines) else None
+        if not m:
+            raise ValueError("missing arena total")
+        records.append(("arena_total", None, None, m["usage"]))
+        idx += 1
+        while idx < len(lines):
+            line = lines[idx].strip()
+            if line == g.MEM_REP_CFS_STATS_TITLE:
+                break
+            em = entity_re.fullmatch(line)
+            if em is None:
+                break
+            records.append(("arena", em["entity"], None, em["usage"]))
+            idx += 1
+
+        if idx >= len(lines) or lines[idx].strip() != \
+                g.MEM_REP_CFS_STATS_TITLE:
+            raise ValueError("missing cfs title")
+        idx += 1
+        m = total_re.fullmatch(lines[idx].strip()) if idx < len(lines) else None
+        if not m:
+            raise ValueError("missing cfs total")
+        records.append(("cfs_total", None, None, m["usage"]))
+        idx += 1
+        while idx < len(lines):
+            cm = cf_re.fullmatch(lines[idx].strip())
+            if cm is None:
+                break
+            records.append(("cf", None, cm["cf"], cm["usage"]))
+            idx += 1
+
+        while idx < len(lines):
+            em = entity_re.fullmatch(lines[idx].strip())
+            if em is None:
+                break
+            records.append(("misc", em["entity"], None, em["usage"]))
+            idx += 1
+
+        for section, entity, cf, usage in records:
+            self.emit("memrep", e, name=section, cf=cf, msg=usage,
+                      attrs={"entity": entity} if entity else None)
 
     # -- compaction monitors (compactions.py:88-156) -------------------------
     def try_monitors(self) -> bool:

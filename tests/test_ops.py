@@ -116,3 +116,26 @@ def test_media_metadata_stub(spark):
     assert out[2]["n_bytes"] == 0 and out[3]["n_bytes"] == 0
     assert len(out[1]["feature"]) == 8
     assert out[2]["content_hash"] == out[3]["content_hash"]
+
+
+def test_salted_aggregation_exact(spark):
+    from log_parser_spark.ops import skew
+    # Zipf-ish: one hot key with 10x the rows
+    rows = [("hot", float(i)) for i in range(1000)] + \
+           [(f"k{i % 10}", float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "key string, v double")
+
+    plain_counts = {r["key"]: r["count"]
+                    for r in df.groupBy("key").count().collect()}
+    salted_counts = {r["key"]: r["n"]
+                     for r in skew.salted_count(df, ["key"]).collect()}
+    assert plain_counts == salted_counts
+
+    plain_sums = {r["key"]: round(r["sum(v)"], 6)
+                  for r in df.groupBy("key").sum("v").collect()}
+    salted_sums = {r["key"]: round(r["sum_v"], 6)
+                   for r in skew.salted_sum(df, ["key"], "v").collect()}
+    assert plain_sums == salted_sums
+
+    rep = skew.salted_repartition(df, "key", 8)
+    assert rep.count() == df.count()

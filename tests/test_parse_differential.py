@@ -210,3 +210,55 @@ def test_baseline_logs_options_match_reference(reference):
         assert _ref_options_dicts(reference, pl) == _options_dicts(recs), path
         checked += 1
     assert checked >= 30
+
+
+def test_mem_rep_matches_reference(reference):
+    """Full memory-report entry vs the reference MemRepParser
+    (mem_rep_parser.py:25-160)."""
+    import mem_rep_parser  # oracle
+
+    body = [
+        "** Memory Reporting **",
+        "Arena Stats:",
+        "Total: 26M",
+        "ArenaWrappedDBIter: 0",
+        "HashSpdb: 26M",
+        "CF Stats:",
+        "Total: 30M",
+        "[default]: 20M",
+        "[cf1]: 10M",
+        "Misc1: 5M",
+        "Misc2: 1M",
+    ]
+    text = ("2023/01/01-00:00:00.000000 1 SpeeDB version: 2.6.0\n"
+            "2023/01/01-00:00:00.000001 1 Options.error_if_exists: 0\n"
+            "2023/01/01-00:00:00.000002 1 Compression algorithms supported:\n"
+            "2023/01/01-00:00:01.000000 7 " + body[0] + "\n"
+            + "\n".join(body[1:]) + "\n")
+
+    recs = _mine(text)
+    mine = [(r["name"], r["attrs"]["entity"] if r["attrs"] else None,
+             r["cf"], r["msg"]) for r in recs if r["kind"] == "memrep"]
+
+    log_entry = reference["log_entry"].LogEntry
+    entries, cur = [], None
+    for i, line in enumerate(text.splitlines()):
+        if log_entry.is_entry_start(line):
+            if cur:
+                entries.append(cur.all_lines_added())
+            cur = log_entry(i, line)
+        else:
+            cur.add_line(line)
+    entries.append(cur.all_lines_added())
+
+    mrp = mem_rep_parser.MemRepParser()
+    ok, _ = mrp.try_adding_entries(entries, len(entries) - 1)
+    assert ok
+    report = list(mrp.get_reports().values())[0]
+
+    expected = [("arena_total", None, None, report.arena_total)]
+    expected += [("arena", k, None, v) for k, v in report.arena_stats.items()]
+    expected += [("cfs_total", None, None, report.cfs_total)]
+    expected += [("cf", None, k, v) for k, v in report.cfs_stats.items()]
+    expected += [("misc", k, None, v) for k, v in report.misc_stats.items()]
+    assert mine == expected
