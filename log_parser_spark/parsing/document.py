@@ -81,11 +81,28 @@ def human_num_to_int(value_str: str, unit_str: str) -> int:
 
 def _is_options_entry(entry: Entry):
     # log_file_options_parser.py:41-60 — exactly one OPTION_LINE match in msg
-    m = g.compiled(g.OPTION_LINE).findall(entry.get_msg())
+    m = _OPTION_LINE_RE.findall(entry.get_msg())
     if len(m) != 1 or len(m[0]) != 2:
         return None
     return m[0][0].strip(), m[0][1].strip()
 
+
+_OPTION_LINE_RE = g.compiled(g.OPTION_LINE)
+_CF_OPTIONS_START_RE = g.compiled(g.CF_OPTIONS_START)
+_SUPPORT_INFO_RE = g.compiled(g.SUPPORT_INFO_START_LINE)
+_EVENT_RE = g.compiled(g.EVENT)
+_FLUSH_PRE_RE = g.compiled(g.FLUSH_EVENT_PREAMBLE)
+_COMP_PRE_RE = g.compiled(g.COMPACTION_EVENT_PREAMBLE)
+_DROP_CF_RE = g.compiled(g.DROP_CF)
+_RECOVERED_CF_RE = g.compiled(g.RECOVERED_CF)
+_CREATE_CF_RE = g.compiled(g.CREATE_CF)
+_CF_STATS_RE = g.compiled(g.CF_STATS)
+_DB_STATS_RE = g.compiled(g.DB_STATS)
+_STATS_HDR_RE = g.compiled(g.STATS_COUNTERS_AND_HISTOGRAMS)
+_COUNTER_RE = g.compiled(g.STATS_COUNTER)
+_HIST_RE = g.compiled(g.STATS_HISTOGRAM)
+_MEM_TITLE_RE = g.compiled(g.MEM_REP_TITLE)
+_PREFINISH_RE = g.compiled(g.COMPACTION_JOB_FINISH_STATS_LINE)
 
 _TABLE_TOPICS = [
     ("metadata_cache_options", "metadata_cache_"),
@@ -302,13 +319,13 @@ class DocumentParser:
         e = self.cur()
         msg = e.get_msg()
 
-        m = g.compiled(g.DROP_CF).findall(msg)
+        m = _DROP_CF_RE.findall(msg)
         if m:
             self.emit("cf_lifetime", e, name="drop", attrs={"cf_id": m[0]})
             self.entry_idx += 1
             return True
 
-        m = g.compiled(g.RECOVERED_CF).search(msg)
+        m = _RECOVERED_CF_RE.search(msg)
         if m:
             cf = m.group("cf")
             self.emit("cf_lifetime", e, name="recover", cf=cf,
@@ -318,7 +335,7 @@ class DocumentParser:
             self.entry_idx += 1
             return True
 
-        m = g.compiled(g.CREATE_CF).search(msg)
+        m = _CREATE_CF_RE.search(msg)
         if m:
             cf = m.group("cf")
             self.emit("cf_lifetime", e, name="create", cf=cf,
@@ -339,7 +356,7 @@ class DocumentParser:
 
         # find the support-info sentinel (log_file.py:328-338)
         sup_idx = self.entry_idx
-        sentinel = g.compiled(g.SUPPORT_INFO_START_LINE)
+        sentinel = _SUPPORT_INFO_RE
         while sup_idx < len(self.entries):
             first = self.entries[sup_idx].get_msg_lines()[0] \
                 if self.entries[sup_idx].msg_lines else ""
@@ -375,7 +392,7 @@ class DocumentParser:
     # -- cf options (log_file.py:305-326,373-384; parser 204-259) ----------
     def try_cf_options(self) -> bool:
         e = self.cur()
-        header = g.compiled(g.CF_OPTIONS_START).findall(e.get_msg())
+        header = _CF_OPTIONS_START_RE.findall(e.get_msg())
         if len(header) == 1:
             self._parse_cf_options(cf_name=header[0], auto_generated=False,
                                    skip_header=True)
@@ -453,12 +470,12 @@ class DocumentParser:
 
         # preamble? (events.py:180-199,790-811)
         pre = None
-        m = g.compiled(g.FLUSH_EVENT_PREAMBLE).search(msg)
+        m = _FLUSH_PRE_RE.search(msg)
         if m:
             pre = {"cf": m.group("cf"), "job_id": int(m.group("job_id")),
                    "type": "flush_started", "wal_id": int(m.group("wal_id"))}
         else:
-            m = g.compiled(g.COMPACTION_EVENT_PREAMBLE).search(msg)
+            m = _COMP_PRE_RE.search(msg)
             if m:
                 pre = {"cf": m.group("cf"), "job_id": int(m.group("job_id")),
                        "type": "compaction_started", "wal_id": None}
@@ -471,7 +488,7 @@ class DocumentParser:
             self.entry_idx += 1
             return True
 
-        if not g.compiled(g.EVENT).findall(msg):
+        if not _EVENT_RE.findall(msg):
             return False
 
         # parse the json payload (events.py:202-259)
@@ -563,7 +580,7 @@ class DocumentParser:
 
         # standalone "CF Stats [cf]" entry (stats_mngr.py:1172-1189)
         first_line = e.get_msg_lines()[0] if e.msg_lines else ""
-        m = g.compiled(g.CF_STATS).fullmatch(first_line)
+        m = _CF_STATS_RE.fullmatch(first_line)
         if m:
             cf = m.group("cf")
             self.add_cf_found(cf, e, "during_parsing")
@@ -581,7 +598,7 @@ class DocumentParser:
             lines = nxt.get_msg_lines()
             while lines and not lines[0]:
                 lines = lines[1:]
-            if lines and g.compiled(g.DB_STATS).fullmatch(lines[0]):
+            if lines and _DB_STATS_RE.fullmatch(lines[0]):
                 self.dump_stats_entry_found = False
                 self._scan_stats_lines(nxt, lines, cf_name=NO_CF,
                                        curr_type="DB_WIDE")
@@ -594,7 +611,7 @@ class DocumentParser:
         lines = e.get_msg_lines()
         while lines and not lines[0]:
             lines = lines[1:]
-        if lines and g.compiled(g.DB_STATS).fullmatch(lines[0]):
+        if lines and _DB_STATS_RE.fullmatch(lines[0]):
             self.dump_stats_entry_found = False
             self._scan_stats_lines(e, lines, cf_name=NO_CF,
                                    curr_type="DB_WIDE")
@@ -877,12 +894,11 @@ class DocumentParser:
     def try_counters(self) -> bool:
         e = self.cur()
         lines = e.get_msg_lines()
-        if not lines or not g.compiled(g.STATS_COUNTERS_AND_HISTOGRAMS).findall(
-                lines[0]):
+        if not lines or not _STATS_HDR_RE.findall(lines[0]):
             return False
 
-        counter_re = g.compiled(g.STATS_COUNTER)
-        hist_re = g.compiled(g.STATS_HISTOGRAM)
+        counter_re = _COUNTER_RE
+        hist_re = _HIST_RE
         ts = e.time
         for line in lines[1:]:
             cm = counter_re.findall(line)
@@ -930,7 +946,7 @@ class DocumentParser:
         lines = e.get_msg_lines()
         while lines and not lines[0]:
             lines = lines[1:]
-        if not lines or not g.compiled(g.MEM_REP_TITLE).fullmatch(lines[0]):
+        if not lines or not _MEM_TITLE_RE.fullmatch(lines[0]):
             return False
         try:
             self._parse_mem_rep(e, lines)
@@ -995,7 +1011,7 @@ class DocumentParser:
     # -- compaction monitors (compactions.py:88-156) -------------------------
     def try_monitors(self) -> bool:
         e = self.cur()
-        m = g.compiled(g.COMPACTION_JOB_FINISH_STATS_LINE).findall(e.get_msg())
+        m = _PREFINISH_RE.findall(e.get_msg())
         if not m:
             return False
         cf, rd, wr, rw_amp, w_amp, rec_in, rec_drop = m[0]

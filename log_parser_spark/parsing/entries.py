@@ -34,13 +34,20 @@ class Entry:
     msg_lines: list[str] = field(default_factory=list)
     cf_name: str | None = None
     job_id: int | None = None
+    _msg_lines_cache: list[str] | None = None
+    _msg_cache: str | None = None
 
     def get_msg_lines(self) -> list[str]:
-        return [ln.strip() for ln in self.msg_lines]
+        # cached: the dispatch chain probes every entry several times
+        if self._msg_lines_cache is None:
+            self._msg_lines_cache = [ln.strip() for ln in self.msg_lines]
+        return self._msg_lines_cache
 
     def get_msg(self) -> str:
         # log_entry.py:186-187: strip each line, join, strip the whole
-        return "\n".join(self.get_msg_lines()).strip()
+        if self._msg_cache is None:
+            self._msg_cache = "\n".join(self.get_msg_lines()).strip()
+        return self._msg_cache
 
     def get_non_stripped_msg(self) -> str:
         # log_entry.py:189-190
