@@ -22,12 +22,22 @@ from log_parser_spark.parsing.document import parse_document
 _OUT_CHUNK = 20_000
 
 
+# Record dicts are created by parsing.document._rec with a fixed literal
+# key order and "url" appended last, so list(r.values()) is columnar in
+# _REC_VALUE_ORDER — much faster than 17 x n dict lookups per flush.
+_REC_VALUE_ORDER = [f for f in RECORD_FIELDS if f != "url"] + ["url"]
+
+
+def _frame_from_records(buf: list[dict]) -> pd.DataFrame:
+    cols = list(zip(*[list(r.values()) for r in buf]))
+    return pd.DataFrame(dict(zip(_REC_VALUE_ORDER, cols)))
+
+
 def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     buf: list[dict] = []
 
     def flush(buf):
-        return pd.DataFrame(
-            {f: [r.get(f) for r in buf] for f in RECORD_FIELDS})
+        return _frame_from_records(buf)
 
     for pdf in batches:
         for url, text in zip(pdf["url"].values, pdf["text"].values):
@@ -87,8 +97,7 @@ def _parse_split_batches(batches) -> "Iterator[pd.DataFrame]":
     buf: list[dict] = []
 
     def flush(b):
-        return pd.DataFrame(
-            {f: [r.get(f) for r in b] for f in RECORD_FIELDS})
+        return _frame_from_records(b)
 
     for pdf in batches:
         for fpath, rg in zip(pdf["path"].values, pdf["rg"].values):

@@ -262,3 +262,15 @@ def test_mem_rep_matches_reference(reference):
     expected += [("cf", None, k, v) for k, v in report.cfs_stats.items()]
     expected += [("misc", k, None, v) for k, v in report.misc_stats.items()]
     assert mine == expected
+
+
+def test_record_value_order_invariant():
+    """engine.parse builds output frames from list(r.values()) — every
+    record kind must keep the _rec literal key order with url appended."""
+    from log_parser_spark.corpus import load_corpus_logs
+    from log_parser_spark.engine.schema import RECORD_FIELDS
+    order = [f for f in RECORD_FIELDS if f != "url"] + ["url"]
+    for name, text in load_corpus_logs().items():
+        for r in parse_document(text):
+            r["url"] = "u"
+            assert list(r.keys()) == order, (name, list(r.keys()))
