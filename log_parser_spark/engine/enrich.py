@@ -9,7 +9,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from log_parser_spark.engine.joins import MATCHING_EVENTS
 
 _EVENT_TYPES = [
     # (event_type, flow, is_start, sink) — events.py:27-50,113-119

@@ -55,3 +55,36 @@ def get_spark(app_name: str = "log-parser-spark", cores: int | None = None,
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     return spark
+
+
+_PYFILES_SENT: set[int] = set()
+
+
+def ensure_workers_can_import(spark: SparkSession) -> None:
+    """Make the log_parser_spark package importable in python workers of
+    an EXTERNALLY-created SparkSession (e.g. the verification driver's):
+    zip the package and sc.addPyFile it once per session.  Sessions built
+    by get_spark don't need this (PYTHONPATH is set pre-JVM), but
+    addPyFile is harmless there."""
+    key = id(spark)
+    if key in _PYFILES_SENT:
+        return
+    import zipfile
+
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zip_path = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), "log_parser_spark_pyfiles.zip")
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, _dirs, files in os.walk(pkg_root):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.join(
+                        "log_parser_spark",
+                        os.path.relpath(full, pkg_root))
+                    z.write(full, rel)
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # already registered in this context
+    _PYFILES_SENT.add(key)

@@ -9,7 +9,7 @@ report-edge operation, not a cluster operation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from log_parser_spark.engine import joins

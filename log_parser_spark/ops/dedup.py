@@ -8,7 +8,7 @@ linear in practice at 100 TB; only within-bucket pairs are compared.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from log_parser_spark.ops.text import tokens_col

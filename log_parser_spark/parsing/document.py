@@ -206,8 +206,17 @@ class DocumentParser:
             },
         )
 
+    # A document must fit one python worker (the reference loads whole
+    # files too, log_parser.py:68-74); beyond this cap we quarantine
+    # instead of risking worker OOM at 100 TB scale (SURVEY §7.3.6).
+    MAX_DOC_BYTES = 256 * 1024 * 1024
+
     # -- top-level driver -------------------------------------------------
     def run(self) -> list[dict]:
+        if len(self.text) > self.MAX_DOC_BYTES:
+            return [_rec("quarantine",
+                         attrs={"reason": "oversized_document",
+                                "n_bytes": str(len(self.text))})]
         lines = self.text.split("\n")
         # readlines() keeps trailing newline off the final element the same
         # way split does for our corpus embedding (text has no trailing \n

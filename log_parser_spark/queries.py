@@ -478,6 +478,8 @@ GROUP BY label, dim
 # ------------------------------------ rows-only (non-SQL-expressible) ops
 
 def doc_fingerprints(spark, sf_dir):
+    from log_parser_spark.engine.session import ensure_workers_can_import
+    ensure_workers_can_import(spark)
     return text.fingerprints(_t(spark, sf_dir, "documents")).select(
         "doc_id", "fingerprint")
 
@@ -508,6 +510,8 @@ def _records(spark):
     if key not in _RECORDS_MEMO:
         from log_parser_spark.corpus import build_pages_df
         from log_parser_spark.engine.parse import parse_pages
+        from log_parser_spark.engine.session import ensure_workers_can_import
+        ensure_workers_can_import(spark)
         rec = parse_pages(build_pages_df(spark, _N_LOG_PAGES)).persist()
         rec.count()
         _RECORDS_MEMO[key] = rec

@@ -274,3 +274,35 @@ def test_record_value_order_invariant():
         for r in parse_document(text):
             r["url"] = "u"
             assert list(r.keys()) == order, (name, list(r.keys()))
+
+
+def test_oversized_document_quarantined(monkeypatch):
+    from log_parser_spark.parsing import document as docmod
+    monkeypatch.setattr(docmod.DocumentParser, "MAX_DOC_BYTES", 100)
+    recs = docmod.parse_document("x" * 200)
+    assert len(recs) == 1
+    assert recs[0]["attrs"]["reason"] == "oversized_document"
+
+
+def test_parse_never_raises_fuzz():
+    """Determinism + no-crash on adversarial inputs (hypothesis-style
+    corpus of mutations over real log fragments)."""
+    import random
+
+    rng = random.Random(7)
+    base = fixture_log("LOG_sample").splitlines()
+    for trial in range(40):
+        n = rng.randrange(1, 60)
+        lines = [rng.choice(base) for _ in range(n)]
+        # inject garbage
+        for _ in range(rng.randrange(0, 5)):
+            lines.insert(rng.randrange(len(lines)),
+                         rng.choice(["", "\x00\x01garbage",
+                                     "2022/13/99-99:99:99.999999 oops",
+                                     "EVENT_LOG_v1 {broken json",
+                                     "Options.x: " + "y" * 50]))
+        text = "\n".join(lines)
+        a = parse_document(text)
+        b = parse_document(text)
+        assert a == b  # deterministic
+        assert isinstance(a, list)
