@@ -82,7 +82,7 @@ def minhash_lsh_pairs(df: DataFrame, key: str = "doc_id",
              .dropDuplicates(["a", "b"]))
     match_frac = (F.size(F.filter(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-        lambda v: v == 1)) / F.lit(16)).cast("double")
+        lambda v: v == 1)) / F.lit(num_perm)).cast("double")
     return pairs.select("a", "b",
                         F.round(match_frac, 4).alias("est_jaccard"))
 
