@@ -174,6 +174,11 @@ class DocumentParser:
         self.counter_last: dict[str, int] = {}
         self.hist_last: dict[str, tuple[int, int]] = {}
         self.cfs_seen: dict[str, dict] = {}  # registry (order preserved)
+        # comp-stats tables keyed (ts, cf): a re-dump at the same time for
+        # the same cf REPLACES the previous table, like the reference's
+        # level_entries[time][cf] dict (stats_mngr.py:396-399); emitted
+        # after the dispatch loop in dict order
+        self.comp_entries: dict[tuple, list] = {}
         self.entries: list[Entry] = []
         self.entry_idx = 0
 
@@ -241,6 +246,13 @@ class DocumentParser:
             self.parse_rest()
         except DocAbort as e:
             return [_rec("quarantine", attrs={"reason": f"parse_abort:{e}"})]
+
+        for (ts, cf_name), rows in self.comp_entries.items():
+            for key, row, line_idx in rows:
+                # payload_json preserves column order (Spark maps do not)
+                self.emit("comp_stats", ts=ts, cf=cf_name, name=key,
+                          line_idx=line_idx, attrs=row,
+                          payload_json=json.dumps(row))
 
         return self.records
 
@@ -779,10 +791,8 @@ class DocumentParser:
 
         if "SUM" not in rows:
             return
-        for key, row in rows.items():
-            # payload_json preserves column order (Spark maps do not)
-            self.emit("comp_stats", entry, cf=cf_name, name=key, attrs=row,
-                      payload_json=json.dumps(row))
+        self.comp_entries[(entry.time, cf_name)] = [
+            (key, row, entry.start_line_idx) for key, row in rows.items()]
 
     # stats_mngr.py:551-600
     def _parse_blob_stats(self, entry, cf, lines):

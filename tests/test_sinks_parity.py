@@ -13,7 +13,9 @@ from log_parser_spark.engine import branches, csv_render, sinks
 from log_parser_spark.engine.parse import parse_pages
 from log_parser_spark.engine.schema import PAGES_SCHEMA
 
-CORPUS_IDS = ["sample", "sample_stats", "rolled"]
+CORPUS_IDS = ["sample", "sample_stats", "rolled",
+              "LOG-rocksdb-6.0.1", "LOG-rocksdb-8.8.1",
+              "LOG-speedb-2.6.0"]
 
 
 @pytest.fixture(scope="module")
