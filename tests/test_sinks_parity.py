@@ -13,9 +13,12 @@ from log_parser_spark.engine import branches, csv_render, sinks
 from log_parser_spark.engine.parse import parse_pages
 from log_parser_spark.engine.schema import PAGES_SCHEMA
 
-CORPUS_IDS = ["sample", "sample_stats", "rolled",
-              "LOG-rocksdb-6.0.1", "LOG-rocksdb-8.8.1",
-              "LOG-speedb-2.6.0"]
+import glob as _glob
+import os as _os
+
+CORPUS_IDS = ["sample", "sample_stats", "rolled"] + sorted(
+    _os.path.basename(p) for p in
+    _glob.glob("/root/reference/baseline_logs/LOG-*"))
 
 
 @pytest.fixture(scope="module")
