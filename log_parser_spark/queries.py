@@ -138,7 +138,8 @@ WITH g AS (
          epoch_us(ts) - lag(epoch_us(ts)) OVER
            (PARTITION BY user_id ORDER BY event_id) AS gap_us
   FROM events)
-SELECT user_id, count(*) AS n_gaps, sum(gap_us) AS sum_gap_us,
+SELECT user_id, count(*) AS n_gaps,
+       CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
        max(gap_us) AS max_gap_us
 FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
 """
@@ -179,11 +180,11 @@ def events_hour_pivot(spark, sf_dir):
 
 EVENTS_HOUR_PIVOT_SQL = """
 SELECT strftime(ts, '%Y-%m-%d %H') AS hour,
-       sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS n_click,
-       sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS n_view,
-       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-       sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS n_signup,
-       sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS n_error
+       CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error
 FROM events GROUP BY 1
 """
 
@@ -218,8 +219,8 @@ WITH w AS (
            AS last_signup_us
   FROM events)
 SELECT user_id, count(*) AS n_errors,
-       sum(CASE WHEN last_signup_us IS NOT NULL THEN 1 ELSE 0 END)
-         AS n_with_prior_signup,
+       CAST(sum(CASE WHEN last_signup_us IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_with_prior_signup,
        max(CASE WHEN last_signup_us IS NOT NULL
                 THEN ts_us - last_signup_us END) AS max_gap_us
 FROM w WHERE event_type = 'error' GROUP BY user_id
@@ -307,7 +308,8 @@ WITH t AS (
               ELSE length(regexp_split_to_array(trim(text), '\\s+')) END
            AS n_tok
   FROM documents)
-SELECT lang, count(*) AS n_docs, sum(n_tok) AS total_tokens,
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
        CAST(round(avg(n_tok), 6) AS DOUBLE) AS avg_tokens
 FROM t GROUP BY lang
 """

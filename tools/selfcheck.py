@@ -72,10 +72,17 @@ def main():
             failures.append((name, f"rows {len(s)} vs {len(o)}"))
             print(f"FAIL  {name}: row count {len(s)} vs {len(o)}")
             continue
-        # exact value compare (dtype-tolerant)
+        # exact value compare. The driver hashes TYPED values, so a
+        # dtype-kind mismatch (e.g. DuckDB HUGEINT->object/float vs
+        # Spark BIGINT->int64) is a failure even when str() matches.
         mismatch = None
         for c in s.columns:
             a, b = s[c], o[c]
+            ka, kb = a.dtype.kind, b.dtype.kind
+            if ka != kb and not ({ka, kb} <= {"i", "u"}):
+                mismatch = (f"col {c} dtype kind {a.dtype}({ka}) vs "
+                            f"{b.dtype}({kb}) — driver hash would differ")
+                break
             try:
                 if pd.api.types.is_float_dtype(a) or \
                         pd.api.types.is_float_dtype(b):
