@@ -78,9 +78,12 @@ def cf_registry(records: DataFrame) -> DataFrame:
 def metadata(records: DataFrame) -> DataFrame:
     """One row per url: product/version/git/session/start/end."""
     r = records.filter(F.col("kind") == "metadata")
+    # min_by(seq) = first occurrence in document order (deterministic;
+    # rolled logs carry one metadata block per session, first wins —
+    # log_file.py metadata comes from the first session's header)
     return r.groupBy("url").pivot(
         "name", ["product_name", "version", "git_hash", "db_session_id",
-                 "start_time", "end_time"]).agg(F.first("msg"))
+                 "start_time", "end_time"]).agg(F.min_by("msg", "seq"))
 
 
 def comp_stats(records: DataFrame) -> DataFrame:

@@ -57,7 +57,7 @@ def get_spark(app_name: str = "log-parser-spark", cores: int | None = None,
     return spark
 
 
-_PYFILES_SENT: set[int] = set()
+_PYFILES_SENT: set[str] = set()
 
 
 def ensure_workers_can_import(spark: SparkSession) -> None:
@@ -65,8 +65,11 @@ def ensure_workers_can_import(spark: SparkSession) -> None:
     an EXTERNALLY-created SparkSession (e.g. the verification driver's):
     zip the package and sc.addPyFile it once per session.  Sessions built
     by get_spark don't need this (PYTHONPATH is set pre-JVM), but
-    addPyFile is harmless there."""
-    key = id(spark)
+    addPyFile is harmless there.
+
+    Keyed by applicationId, not id(spark): CPython can reuse a stopped
+    session's id for a new one, which would silently skip addPyFile."""
+    key = spark.sparkContext.applicationId
     if key in _PYFILES_SENT:
         return
     import zipfile

@@ -10,11 +10,21 @@ versions so the driver's value-hash comparison is stable.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from log_parser_spark.ops import dedup, similarity, text
 from log_parser_spark.ops.multimodal import binary_meta_columns
+
+_DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
+RECORDS_PATH = os.path.join(_DATA_DIR, "log_records.parquet")
+BASELINE_OPTS_PATH = os.path.join(_DATA_DIR, "baseline_options.parquet")
+# DuckDB-side sources for the staged artifacts (absolute paths so the
+# driver can run the oracle from any cwd)
+_R = f"read_parquet('{RECORDS_PATH}')"
+_B = f"read_parquet('{BASELINE_OPTS_PATH}')"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -499,24 +509,25 @@ def embedding_ann_ivf(spark, sf_dir):
     return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
-# ------------------------------------------- log pipeline (rows-only)
+# --------------------------------------------------- log pipeline queries
 
 _N_LOG_PAGES = 48
 _RECORDS_MEMO = {}
 
 
 def _records(spark):
-    """Parsed records over the synthetic pages corpus, parsed once per
-    session and persisted (shared by every log_* query)."""
-    key = id(spark)
+    """The staged parsed-records table over the 48-page corpus
+    (log_parser_spark/data/log_records.parquet, regenerated by
+    tools/stage_records.py; tests/test_staged_artifacts.py asserts it
+    equals a live parse).  Both the Spark log_* queries and their DuckDB
+    oracles read this file, which makes the whole relational layer
+    driver-verifiable; the parse path itself is exercised by entry(),
+    the pipeline tests, and the log_pipeline bench."""
+    key = spark.sparkContext.applicationId
     if key not in _RECORDS_MEMO:
-        from log_parser_spark.corpus import build_pages_df
-        from log_parser_spark.engine.parse import parse_pages
-        from log_parser_spark.engine.session import ensure_workers_can_import
-        ensure_workers_can_import(spark)
-        rec = parse_pages(build_pages_df(spark, _N_LOG_PAGES)).persist()
-        rec.count()
-        _RECORDS_MEMO[key] = rec
+        df = spark.read.parquet(RECORDS_PATH).withColumn(
+            "attrs", F.from_json("attrs_json", "map<string,string>"))
+        _RECORDS_MEMO[key] = df.drop("attrs_json")
     return _RECORDS_MEMO[key]
 
 
@@ -634,6 +645,340 @@ def log_parsed_summaries(spark, sf_dir):
         "db_size_bytes_at_end")
 
 
+# --------------------------------------- log-query oracle SQL (DuckDB)
+#
+# Each oracle reads the same staged records parquet the Spark side
+# reads, so the driver's side-by-side check verifies the relational
+# layer (branch selects, joins, aggregates) end-to-end.  attrs is
+# staged as canonical JSON -> json_extract_string on both sides of any
+# typed attribute.  Integer sums are CAST to BIGINT (DuckDB widens to
+# HUGEINT, which breaks the driver's typed value hash).
+
+LOG_ROUTE_SQL = f"""
+SELECT kind, count(*) AS n FROM {_R} GROUP BY kind
+"""
+
+LOG_EVENT_HIST_SQL = f"""
+SELECT event_type, cf, count(*) AS n
+FROM {_R} WHERE kind = 'event' GROUP BY event_type, cf
+"""
+
+LOG_COUNTERS_LAST_SQL = f"""
+SELECT url, name, arg_max(value, seq) AS last_value
+FROM {_R} WHERE kind = 'counter' GROUP BY url, name
+"""
+
+# rank-equality start/finish pairing (flow_pairs, engine/joins.py) as a
+# window + equi-join; duration truncates toward zero like Spark's
+# double->long cast
+_FLUSH_PAIRS_CTE = f"""
+ev AS (SELECT url, seq, ts, cf, job_id, event_type, time_micros,
+              payload_json
+       FROM {_R} WHERE kind = 'event'),
+fs AS (SELECT *, row_number() OVER
+         (PARTITION BY url, job_id, cf ORDER BY seq) AS rk
+       FROM ev WHERE event_type = 'flush_started'),
+ff AS (SELECT *, row_number() OVER
+         (PARTITION BY url, job_id, cf ORDER BY seq) AS rk
+       FROM ev WHERE event_type = 'flush_finished'),
+pairs AS (
+  SELECT fs.url, fs.cf, fs.job_id,
+         fs.ts AS start_ts, ff.ts AS finish_ts,
+         CAST(trunc((ff.time_micros - fs.time_micros) / 1000.0) AS BIGINT)
+           AS duration_ms,
+         CAST(json_extract_string(fs.payload_json, '$.total_data_size')
+              AS BIGINT) AS total_data_size,
+         CAST(json_extract_string(fs.payload_json, '$.num_memtables')
+              AS BIGINT) AS num_memtables,
+         json_extract_string(fs.payload_json, '$.flush_reason')
+           AS flush_reason
+  FROM fs LEFT JOIN ff
+    ON fs.url = ff.url AND fs.job_id = ff.job_id AND fs.cf = ff.cf
+       AND fs.rk = ff.rk)
+"""
+
+LOG_FLUSH_PAIRS_SQL = f"""
+WITH {_FLUSH_PAIRS_CTE},
+cfs AS (SELECT DISTINCT url, cf FROM {_R}
+        WHERE kind = 'cf_found'
+          AND json_extract_string(attrs_json, '$.auto_generated') = 'False')
+SELECT p.url, p.cf, p.job_id, p.start_ts, p.finish_ts, p.duration_ms
+FROM pairs p JOIN cfs USING (url, cf)
+"""
+
+LOG_FLUSH_STATS_SQL = f"""
+WITH {_FLUSH_PAIRS_CTE},
+stats AS (
+  SELECT url, cf, flush_reason, count(*) AS n_flushes,
+         CAST(sum(total_data_size) AS BIGINT) AS total_data_size,
+         min(duration_ms) AS min_duration_ms,
+         max(duration_ms) AS max_duration_ms,
+         CAST(sum(num_memtables) AS BIGINT) AS total_num_memtables
+  FROM pairs GROUP BY url, cf, flush_reason),
+bk AS (
+  SELECT url, cf,
+         CASE WHEN total_data_size < 2097152 THEN 'lt_2mb'
+              WHEN total_data_size < 10485760 THEN 'mb_2_10'
+              WHEN total_data_size < 33554432 THEN 'mb_10_32'
+              WHEN total_data_size < 67108864 THEN 'mb_32_64'
+              ELSE 'gt_64mb' END AS b
+  FROM pairs),
+hist AS (
+  SELECT url, cf,
+         CAST(sum(CASE WHEN b = 'lt_2mb'   THEN 1 ELSE 0 END) AS BIGINT) AS lt_2mb,
+         CAST(sum(CASE WHEN b = 'mb_2_10'  THEN 1 ELSE 0 END) AS BIGINT) AS mb_2_10,
+         CAST(sum(CASE WHEN b = 'mb_10_32' THEN 1 ELSE 0 END) AS BIGINT) AS mb_10_32,
+         CAST(sum(CASE WHEN b = 'mb_32_64' THEN 1 ELSE 0 END) AS BIGINT) AS mb_32_64,
+         CAST(sum(CASE WHEN b = 'gt_64mb'  THEN 1 ELSE 0 END) AS BIGINT) AS gt_64mb
+  FROM bk GROUP BY url, cf)
+SELECT s.*, h.lt_2mb, h.mb_2_10, h.mb_10_32, h.mb_32_64, h.gt_64mb
+FROM stats s LEFT JOIN hist h USING (url, cf)
+"""
+
+LOG_COMPRESSION_SQL = f"""
+WITH c AS (
+  SELECT url,
+         json_extract_string(payload_json,
+                             '$.table_properties.compression') AS compression,
+         CAST(json_extract_string(payload_json, '$.file_size') AS BIGINT)
+           AS file_size,
+         CAST(json_extract_string(payload_json,
+              '$.table_properties.data_size') AS BIGINT)
+         + CAST(json_extract_string(payload_json,
+                '$.table_properties.index_size') AS BIGINT)
+         + CAST(json_extract_string(payload_json,
+                '$.table_properties.filter_size') AS BIGINT) AS uncompressed
+  FROM {_R} WHERE kind = 'event' AND event_type = 'table_file_creation')
+SELECT url, compression, count(*) AS n_files,
+       CAST(sum(file_size) AS BIGINT) AS total_compressed_size,
+       CAST(sum(uncompressed) AS BIGINT) AS total_estimated_uncompressed
+FROM c GROUP BY url, compression
+"""
+
+LOG_READ_LATENCY_SQL = f"""
+WITH rl AS (
+  SELECT url, cf, value AS level, seq,
+         CAST(json_extract_string(attrs_json, '$.count') AS BIGINT) AS cnt,
+         CAST(json_extract_string(attrs_json, '$.average') AS DOUBLE) AS avg_us,
+         CAST(json_extract_string(attrs_json, '$.max') AS BIGINT) AS mx
+  FROM {_R} WHERE kind = 'read_latency'),
+last AS (
+  SELECT url, cf, level,
+         arg_max(cnt, seq) AS cnt, arg_max(avg_us, seq) AS avg_us,
+         arg_max(mx, seq) AS mx
+  FROM rl GROUP BY url, cf, level),
+percf AS (
+  SELECT url, cf, CAST(sum(cnt) AS BIGINT) AS num_reads,
+         CAST(round(CASE WHEN sum(cnt) > 0
+                         THEN sum(cnt * avg_us) / sum(cnt)
+                         ELSE 0.0 END, 6) AS DOUBLE) AS avg_read_latency_us,
+         max(mx) AS max_read_latency_us
+  FROM last GROUP BY url, cf)
+SELECT url, cf, num_reads, avg_read_latency_us, max_read_latency_us,
+       CAST(round(CASE WHEN sum(num_reads) OVER (PARTITION BY url) > 0
+                       THEN 100.0 * num_reads
+                            / sum(num_reads) OVER (PARTITION BY url)
+                       ELSE 0.0 END, 6) AS DOUBLE) AS percent_of_all_reads
+FROM percf
+"""
+
+LOG_DB_SIZE_SQL = f"""
+WITH cs AS (
+  SELECT url, cf, seq,
+         CAST(json_extract_string(attrs_json, '$.size_bytes') AS BIGINT)
+           AS size_bytes
+  FROM {_R} WHERE kind = 'comp_stats' AND name = 'SUM'),
+fl AS (
+  SELECT url, cf, arg_min(size_bytes, seq) AS first_size,
+         arg_max(size_bytes, seq) AS last_size
+  FROM cs GROUP BY url, cf)
+SELECT url, CAST(sum(first_size) AS BIGINT) AS db_size_bytes_at_start,
+       CAST(sum(last_size) AS BIGINT) AS db_size_bytes_at_end
+FROM fl GROUP BY url
+"""
+
+LOG_WARNINGS_SQL = f"""
+WITH c AS (
+  SELECT warn_type,
+         CASE WHEN regexp_matches(msg, '\\[[\\w\\]]*\\]\\s*Stalling writes')
+                THEN 'Write-Delay'
+              WHEN regexp_matches(msg, '\\[[\\w\\]]*\\]\\s*Stopping writes')
+                THEN 'Write-Stop'
+              ELSE 'Other' END AS category
+  FROM {_R} WHERE kind = 'warning'),
+s AS (
+  SELECT warn_type, category,
+         CASE warn_type || '/' || category
+           WHEN 'WARN/Write-Delay'  THEN 2
+           WHEN 'WARN/Write-Stop'   THEN 3
+           WHEN 'WARN/Other'        THEN 1
+           WHEN 'ERROR/Write-Delay' THEN 4
+           WHEN 'ERROR/Write-Stop'  THEN 5
+           WHEN 'ERROR/Other'       THEN 3
+           WHEN 'FATAL/Write-Delay' THEN 6
+           WHEN 'FATAL/Write-Stop'  THEN 6
+           WHEN 'FATAL/Other'       THEN 5
+         END AS severity
+  FROM c)
+SELECT warn_type, category, severity, count(*) AS n
+FROM s GROUP BY warn_type, category, severity
+"""
+
+LOG_OPTIONS_DIFF_SQL = f"""
+WITH opts AS (
+  SELECT url, cf, name AS option, msg AS value
+  FROM {_R} WHERE kind = 'option'
+    AND json_extract_string(attrs_json, '$.section') = 'cf'),
+d AS (SELECT url, option, value AS default_value FROM opts
+      WHERE cf = 'default'),
+o AS (SELECT url, cf, option, value FROM opts WHERE cf <> 'default'),
+j AS (SELECT o.value, d.default_value
+      FROM o FULL OUTER JOIN d USING (url, option))
+SELECT CASE WHEN value IS NULL THEN 'default-only'
+            WHEN default_value IS NULL THEN 'cf-only'
+            WHEN value = default_value THEN 'same'
+            ELSE 'changed' END AS diff_kind,
+       count(*) AS n
+FROM j GROUP BY diff_kind
+"""
+
+LOG_OPTIONS_COMMON_SQL = f"""
+WITH cf_opts AS (
+  SELECT url, json_extract_string(attrs_json, '$.section') AS section,
+         name AS option, cf, msg AS value
+  FROM {_R} WHERE kind = 'option'
+    AND json_extract_string(attrs_json, '$.section') IN ('cf', 'table')),
+n AS (SELECT url, count(DISTINCT cf) AS n_cfs FROM cf_opts GROUP BY url),
+p AS (SELECT url, section, option,
+             count(DISTINCT cf) AS n_with, count(DISTINCT value) AS n_vals
+      FROM cf_opts GROUP BY url, section, option)
+SELECT CASE WHEN p.n_with = n.n_cfs AND p.n_vals = 1
+            THEN 'common' ELSE 'unique' END AS scope,
+       count(*) AS n
+FROM p JOIN n USING (url) GROUP BY scope
+"""
+
+_META_CTE = f"""
+meta AS (
+  SELECT url,
+         arg_min(CASE WHEN name = 'product_name' THEN msg END, seq)
+           AS product_name,
+         arg_min(CASE WHEN name = 'version' THEN msg END, seq) AS version
+  FROM {_R} WHERE kind = 'metadata' GROUP BY url)
+"""
+
+LOG_PARSED_SUMMARIES_SQL = f"""
+WITH {_META_CTE},
+cs AS (
+  SELECT url, cf, seq,
+         CAST(json_extract_string(attrs_json, '$.size_bytes') AS BIGINT)
+           AS size_bytes
+  FROM {_R} WHERE kind = 'comp_stats' AND name = 'SUM'),
+fl AS (SELECT url, cf, arg_min(size_bytes, seq) AS first_size,
+              arg_max(size_bytes, seq) AS last_size
+       FROM cs GROUP BY url, cf),
+dbsize AS (SELECT url, CAST(sum(first_size) AS BIGINT)
+                         AS db_size_bytes_at_start,
+                  CAST(sum(last_size) AS BIGINT) AS db_size_bytes_at_end
+           FROM fl GROUP BY url)
+SELECT m.url, m.product_name, m.version,
+       d.db_size_bytes_at_start, d.db_size_bytes_at_end
+FROM meta m LEFT JOIN dbsize d USING (url)
+"""
+
+
+# sanitized option-value comparison (engine/options_diff.py
+# sanitize_value_col / values_differ_col) as SQL expression builders
+_PTR_RE = r"(0x[\dA-Fa-f]+)"
+
+
+def _sql_is_bool(c):
+    return f"lower({c}) IN ('true', 'false')"
+
+
+def _sql_is_null_ptr(c):
+    return (f"lower({c}) IN ('none', '(nil)', 'nil', 'nullptr', "
+            f"'null', '0x0')")
+
+
+def _sql_ptr(c):
+    return f"regexp_extract(trim({c}), '{_PTR_RE}', 1)"
+
+
+def _sql_is_ptr(c):
+    return f"(NOT {_sql_is_null_ptr(c)} AND {_sql_ptr(c)} <> '')"
+
+
+def _sql_sanitize(c):
+    return (f"CASE WHEN {c} IS NULL THEN 'Missing' "
+            f"WHEN {_sql_is_bool(c)} THEN "
+            f"  upper(substr(lower({c}), 1, 1)) || substr(lower({c}), 2) "
+            f"WHEN {_sql_is_null_ptr(c)} THEN 'Pointer (Uninitialised)' "
+            f"WHEN {_sql_is_ptr(c)} THEN 'Pointer (' || {_sql_ptr(c)} || ')' "
+            f"ELSE {c} END")
+
+
+def _sql_bool_norm(c):
+    return (f"CASE WHEN lower({c}) IN ('true', '1') THEN 'True' "
+            f"WHEN lower({c}) IN ('false', '0') THEN 'False' "
+            f"ELSE {c} END")
+
+
+def _sql_values_differ(base, new):
+    sb, sn = _sql_sanitize(base), _sql_sanitize(new)
+    return (f"CASE WHEN {_sql_is_ptr(base)} AND {_sql_is_ptr(new)} "
+            f"THEN FALSE "
+            f"WHEN {_sql_is_bool(base)} OR {_sql_is_bool(new)} "
+            f"THEN {_sql_bool_norm(sb)} <> {_sql_bool_norm(sn)} "
+            f"ELSE {sb} <> {sn} END")
+
+
+# version key: pad to 3 parts with -1, lexicographic
+# (options_diff._version_key); 4000 > any real component value
+_VKEY = ("(CAST(vp[1] AS BIGINT) * 16000000"
+         " + (coalesce(TRY_CAST(vp[2] AS BIGINT), -1) + 1) * 4000"
+         " + coalesce(TRY_CAST(vp[3] AS BIGINT), -1) + 1)")
+
+LOG_OPTIONS_BASELINE_SQL = f"""
+WITH {_META_CTE},
+uv AS (
+  SELECT url, upper(product_name) AS prod, {_VKEY} AS ukey
+  FROM (SELECT url, product_name,
+               list_filter(string_split(version, '.'), x -> x <> '') AS vp
+        FROM meta
+        WHERE lower(product_name) IN ('rocksdb', 'speedb')
+          AND version IS NOT NULL)),
+bv AS (
+  SELECT product, bversion, {_VKEY} AS bkey
+  FROM (SELECT DISTINCT product, bversion,
+               list_filter(string_split(bversion, '.'), x -> x <> '') AS vp
+        FROM {_B})),
+closest AS (
+  SELECT url, product, bversion,
+         row_number() OVER (PARTITION BY url ORDER BY bkey DESC) AS rn
+  FROM uv JOIN bv ON bv.product = uv.prod AND bv.bkey <= uv.ukey),
+new_side AS (
+  SELECT url, name AS option, msg AS value
+  FROM {_R} WHERE kind = 'option'
+    AND json_extract_string(attrs_json, '$.section') = 'db_wide'
+    AND NOT contains(name, '.')),
+base_side AS (
+  SELECT c.url, b.option, b.bvalue
+  FROM closest c JOIN {_B} b
+    ON b.product = c.product AND b.bversion = c.bversion
+  WHERE c.rn = 1 AND b.section = 'db_wide' AND NOT contains(b.option, '.')),
+j AS (SELECT n.value, b.bvalue
+      FROM new_side n FULL OUTER JOIN base_side b USING (url, option)),
+k AS (SELECT CASE
+        WHEN value IS NULL AND bvalue IS NOT NULL THEN 'in-base-only'
+        WHEN bvalue IS NULL AND value IS NOT NULL THEN 'in-new-only'
+        WHEN {_sql_values_differ("bvalue", "value")} THEN 'changed'
+      END AS diff_kind FROM j)
+SELECT diff_kind, count(*) AS n FROM k
+WHERE diff_kind IS NOT NULL GROUP BY diff_kind
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 ORACLE_SQL = {
@@ -655,6 +1000,19 @@ ORACLE_SQL = {
     "binary_meta": BINARY_META_SQL,
     "embedding_topk": EMBEDDING_TOPK_SQL,
     "embedding_label_centroids": EMBEDDING_CENTROID_SQL,
+    "log_route_counts": LOG_ROUTE_SQL,
+    "log_event_histogram": LOG_EVENT_HIST_SQL,
+    "log_counters_last": LOG_COUNTERS_LAST_SQL,
+    "log_flush_pairs": LOG_FLUSH_PAIRS_SQL,
+    "log_flush_stats": LOG_FLUSH_STATS_SQL,
+    "log_compression_stats": LOG_COMPRESSION_SQL,
+    "log_read_latency_per_cf": LOG_READ_LATENCY_SQL,
+    "log_db_size": LOG_DB_SIZE_SQL,
+    "log_warnings_enriched": LOG_WARNINGS_SQL,
+    "log_options_diff": LOG_OPTIONS_DIFF_SQL,
+    "log_options_vs_baseline": LOG_OPTIONS_BASELINE_SQL,
+    "log_options_common_unique": LOG_OPTIONS_COMMON_SQL,
+    "log_parsed_summaries": LOG_PARSED_SUMMARIES_SQL,
 }
 
 QUERIES = {
