@@ -10,7 +10,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-# (start, finish, flow) triples — events.py:113-119
+# (start, finish, flow) triples — events.py:113-119.  Recovery is listed
+# for parity with the reference's event model, but can never produce
+# pairs today: the parser (matching events.py:216-230) routes recovery
+# events to quarantine as unsupported, so flow_pairs(events, "Recovery")
+# is always empty by construction.
 MATCHING_EVENTS = [
     ("flush_started", "flush_finished", "Flush"),
     ("compaction_started", "compaction_finished", "Compaction"),

@@ -8,7 +8,7 @@ linear in practice at 100 TB; only within-bucket pairs are compared.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from log_parser_spark.ops.text import tokens_col
@@ -53,12 +53,36 @@ def minhash_signatures(df: DataFrame, key: str = "doc_id",
 
 def minhash_lsh_pairs(df: DataFrame, key: str = "doc_id",
                       text_col: str = "text", num_perm: int = 16,
-                      bands: int = 8, k: int = 3) -> DataFrame:
+                      bands: int = 8, k: int = 3,
+                      max_bucket_size: int = 256) -> DataFrame:
     """LSH banding: signature -> band buckets -> within-bucket self-join.
     Returns candidate near-duplicate pairs (a < b) with the fraction of
-    matching minhashes (est. Jaccard)."""
+    matching minhashes (est. Jaccard).
+
+    Scale posture (100 TB dup-heavy crawl):
+    - exact duplicates are collapsed to one representative BEFORE
+      signatures.  Identical docs share every band bucket, so leaving
+      them in makes the within-bucket self-join quadratic in the
+      duplicate count; instead each exact-dup member is re-attached as
+      a linear star pair (representative, member, est_jaccard=1.0).
+    - band buckets larger than ``max_bucket_size`` are dropped: they
+      come from degenerate shingle sets (boilerplate) whose pair lists
+      are inherently quadratic.  The cap bounds every within-bucket
+      join at max_bucket_size^2 candidate rows.
+    """
     rows = num_perm // bands
-    sig = minhash_signatures(df, key, text_col, num_perm, k)
+
+    hashed = df.select(key, text_col).withColumn(
+        "_ch", F.md5(F.col(text_col)))
+    reps = hashed.groupBy("_ch").agg(F.min(key).alias("_rep"))
+    members = hashed.join(reps, "_ch")
+    exact_pairs = (members.filter(F.col(key) != F.col("_rep"))
+                   .select(F.col("_rep").alias("a"), F.col(key).alias("b"),
+                           F.lit(1.0).alias("est_jaccard")))
+    distinct_docs = members.filter(F.col(key) == F.col("_rep")).select(
+        key, text_col)
+
+    sig = minhash_signatures(distinct_docs, key, text_col, num_perm, k)
 
     band_cols = [F.xxhash64(*[F.col(f"mh_{b * rows + r}")
                               for r in range(rows)],
@@ -73,6 +97,13 @@ def minhash_lsh_pairs(df: DataFrame, key: str = "doc_id",
         F.explode(F.array(*[F.struct(
             F.lit(b).alias("band"), F.col(f"band_{b}").alias("bucket"))
             for b in range(bands)])).alias("bb"))
+    # cap: drop mega-buckets before the self-join (count via a
+    # partition-only window — one shuffle on the bucket key, which the
+    # self-join below reuses)
+    wb = Window.partitionBy("bb")
+    buckets = (buckets.withColumn("_bsz", F.count(F.lit(1)).over(wb))
+               .filter(F.col("_bsz") <= max_bucket_size).drop("_bsz"))
+
     a = buckets.select(F.col(key).alias("a"), F.col("sig").alias("sig_a"),
                        "bb")
     b = buckets.select(F.col(key).alias("b"), F.col("sig").alias("sig_b"),
@@ -83,8 +114,9 @@ def minhash_lsh_pairs(df: DataFrame, key: str = "doc_id",
     match_frac = (F.size(F.filter(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
         lambda v: v == 1)) / F.lit(num_perm)).cast("double")
-    return pairs.select("a", "b",
-                        F.round(match_frac, 4).alias("est_jaccard"))
+    lsh_pairs = pairs.select("a", "b",
+                             F.round(match_frac, 4).alias("est_jaccard"))
+    return lsh_pairs.unionByName(exact_pairs)
 
 
 def simhash(df: DataFrame, key: str = "doc_id",
@@ -122,30 +154,44 @@ def ngram_jaccard(df_pairs: DataFrame, left_text: str, right_text: str,
         F.round(F.when(union > 0, inter / union).otherwise(0.0), 6))
 
 
+def hyperplane_buckets(emb: DataFrame, key: str = "vec_id",
+                       vec_col: str = "embedding",
+                       n_bands: int = 8) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector (sign pattern over
+    n_bands pseudo-random hyperplanes).
+
+    Weights use pmod, NOT %: Spark's % keeps the dividend's sign, so
+    (h % 1000) / 500 - 1 would span (-3, 1) with mean -1 — every
+    hyperplane tilted into the negative orthant, collapsing non-negative
+    embeddings into ONE bucket and degenerating the within-bucket join
+    into a full cross join.  pmod keeps the weights symmetric in [-1, 1).
+    """
+    emb = emb.withColumn("_dim", F.size(F.col(vec_col)))
+
+    def sign_bit(b):
+        prod = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.transform(F.sequence(F.lit(1), F.col("_dim")),
+                            lambda i: F.pmod(F.xxhash64(i, F.lit(b)),
+                                             F.lit(1000))
+                            .cast("double") / 500.0 - 1.0),
+                lambda x, w: x.cast("double") * w),
+            F.lit(0.0), lambda acc, v: acc + v)
+        return F.when(prod >= 0, 1).otherwise(0)
+
+    return emb.withColumn(
+        "bucket", F.concat_ws("", *[sign_bit(b).cast("string")
+                                    for b in range(n_bands)])).drop("_dim")
+
+
 def embedding_cosine_dedup(emb: DataFrame, key: str = "vec_id",
                            vec_col: str = "embedding",
                            threshold: float = 0.95,
                            n_bands: int = 8) -> DataFrame:
     """Near-dup by embedding cosine: random-hyperplane LSH signs bucket
     candidates, exact cosine filters within buckets."""
-    dim_probe = F.size(F.col(vec_col))
-    emb = emb.withColumn("_dim", dim_probe)
-
-    def sign_bit(b):
-        # pseudo-random hyperplane: weight_i = xxhash64(i, b) scaled
-        prod = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.transform(F.sequence(F.lit(1), F.col("_dim")),
-                            lambda i: (F.xxhash64(i, F.lit(b)) % 1000)
-                            .cast("double") / 500.0 - 1.0),
-                lambda x, w: x.cast("double") * w),
-            F.lit(0.0), lambda acc, v: acc + v)
-        return F.when(prod >= 0, 1).otherwise(0)
-
-    sig = emb.withColumn(
-        "bucket", F.concat_ws("", *[sign_bit(b).cast("string")
-                                    for b in range(n_bands)]))
+    sig = hyperplane_buckets(emb, key, vec_col, n_bands)
     a = sig.select(F.col(key).alias("a"), F.col(vec_col).alias("va"),
                    "bucket")
     b = sig.select(F.col(key).alias("b"), F.col(vec_col).alias("vb"),

@@ -55,12 +55,20 @@ def ivf_assign(corpus: DataFrame, n_centroids: int = 16,
     """IVF bucketing without iterative k-means: the vectors whose key
     hash is smallest serve as deterministic seed centroids; every vector
     is assigned to its nearest centroid via a broadcast join.  Returns
-    (assignments, centroids)."""
-    w = Window.orderBy(F.xxhash64(F.col(key).cast("string")))
-    seeds = (corpus.withColumn("_rk", F.row_number().over(w))
-             .filter(F.col("_rk") <= n_centroids)
-             .select(F.col("_rk").alias("centroid_id"),
-                     F.col(vec_col).alias("centroid")))
+    (assignments, centroids).
+
+    Seed selection is orderBy().limit(n) — Spark's distributed
+    TakeOrdered (per-partition top-n, then a merge of n-row heaps on the
+    driver side of the exchange).  A global Window.orderBy here would
+    funnel the ENTIRE corpus through one task at 100 TB; the window
+    below runs only over the n_centroids surviving rows."""
+    hashed = corpus.select(
+        F.col(vec_col).alias("centroid"),
+        F.xxhash64(F.col(key).cast("string")).alias("_h"))
+    topn = hashed.orderBy("_h").limit(n_centroids)
+    w = Window.orderBy("_h")  # n_centroids rows only
+    seeds = (topn.withColumn("centroid_id", F.row_number().over(w))
+             .select("centroid_id", "centroid"))
 
     assigned = (corpus.crossJoin(F.broadcast(seeds))
                 .withColumn("sim", cosine_col(vec_col, "centroid")))

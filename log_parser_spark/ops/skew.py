@@ -18,10 +18,18 @@ from pyspark.sql import functions as F
 
 def with_salt(df: DataFrame, salt_n: int = 16,
               col_name: str = "_salt") -> DataFrame:
-    """Deterministic per-row salt (hash of the whole row's monotonic id
-    would break resume; xxhash64 of all columns is stable)."""
+    """Round-robin per-row salt from monotonically_increasing_id.
+
+    NOT a hash of the row content: a hot key typically consists of
+    IDENTICAL duplicate rows (the common crawl case), which a content
+    hash would send to the SAME reducer, defeating the salt entirely.
+    The monotonic id cycles 0..salt_n-1 within each partition, so
+    identical rows spread evenly.  Salt assignment never affects the
+    exactness of the two-phase aggregation (each row contributes once
+    whatever its salt), and is deterministic for a fixed input
+    partitioning."""
     return df.withColumn(
-        col_name, F.pmod(F.xxhash64(*df.columns), F.lit(salt_n)))
+        col_name, F.pmod(F.monotonically_increasing_id(), F.lit(salt_n)))
 
 
 def salted_repartition(df: DataFrame, key: str | Column, n_partitions: int,
@@ -29,8 +37,7 @@ def salted_repartition(df: DataFrame, key: str | Column, n_partitions: int,
     """repartition on (key, salt): a hot key spreads over salt_n
     partitions instead of hot-spotting one."""
     k = F.col(key) if isinstance(key, str) else key
-    salted = df.withColumn("_salt",
-                           F.pmod(F.xxhash64(*df.columns), F.lit(salt_n)))
+    salted = with_salt(df, salt_n)
     return salted.repartition(n_partitions, k, F.col("_salt")).drop("_salt")
 
 

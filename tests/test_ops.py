@@ -118,6 +118,85 @@ def test_media_metadata_stub(spark):
     assert out[2]["content_hash"] == out[3]["content_hash"]
 
 
+def test_minhash_dup_flood_stays_linear(spark):
+    """1k identical docs must NOT produce a quadratic within-bucket
+    join: exact dups collapse to one representative + linear star
+    pairs, and LSH runs on the distinct texts only."""
+    rows = [(i, "the same boilerplate page content repeated everywhere "
+                "across the crawl again and again", "en")
+            for i in range(1000)]
+    rows += [(2000, "a genuinely distinct document about gardens", "en"),
+             (2001, "a genuinely distinct document about gardening", "en")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    pairs = dedup.minhash_lsh_pairs(df).collect()
+    stars = [r for r in pairs if r["est_jaccard"] == 1.0 and r["a"] == 0]
+    assert len(stars) == 999          # star to the representative
+    assert len(pairs) <= 999 + 16     # no quadratic blow-up (≤ +LSH pairs)
+
+
+def test_minhash_bucket_cap_drops_mega_buckets(spark):
+    """Distinct docs sharing one degenerate shingle set exceed the cap
+    and produce no candidate pairs (documented drop)."""
+    rows = [(i, f"tok{i}", "en") for i in range(30)]  # <3 tokens: empty
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = dedup.minhash_lsh_pairs(df, max_bucket_size=8).collect()
+    assert out == []  # all 30 share the empty-shingle bucket > cap
+
+
+def test_hyperplane_buckets_partition(spark):
+    """Non-negative embeddings must spread over multiple buckets (the
+    signed-% weight bug collapsed them into one)."""
+    rows = [(i, [((i * 31 + j * 17) % 97) / 97.0 for j in range(8)])
+            for i in range(40)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    n_buckets = (dedup.hyperplane_buckets(emb)
+                 .select("bucket").distinct().count())
+    assert n_buckets >= 4
+
+
+def test_embedding_cosine_dedup_finds_near_dups(spark):
+    base = [0.1, 0.5, 0.9, 0.2, 0.7, 0.4, 0.6, 0.3]
+    rows = [(1, base), (2, list(base)),                     # exact dup
+            (3, [v * 1.001 + 0.0005 for v in base]),        # near dup
+            (4, [0.9, 0.1, 0.2, 0.8, 0.1, 0.9, 0.05, 0.7])]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = {(r["a"], r["b"]): r["cosine"]
+             for r in dedup.embedding_cosine_dedup(emb).collect()}
+    assert pairs.get((1, 2)) == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.999
+    assert (1, 4) not in pairs
+
+
+def test_ivf_seeds_no_global_window(spark):
+    """The seed-selection plan must not contain a single-partition
+    global window over the corpus (TakeOrdered instead)."""
+    rows = [(i, [float(i), 1.0]) for i in range(100)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    _assignments, seeds = similarity.ivf_assign(emb, n_centroids=4)
+    assert seeds.count() == 4
+    assert sorted(r["centroid_id"] for r in seeds.collect()) == [1, 2, 3, 4]
+    # TakeOrderedAndProject (distributed top-n) must drive seed
+    # selection; the only Window allowed is over the n-row result
+    seed_plan = seeds._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in seed_plan
+
+
+def test_fingerprint_throughput(spark):
+    """Vectorized fingerprint must be far beyond per-byte-Python speed
+    (conservative floor to stay robust on a throttled host)."""
+    import time
+
+    import numpy as np
+
+    from log_parser_spark.ops.text import _fp_one, _fp_tables
+    data = np.arange(4_000_000, dtype=np.int64) % 251
+    tables = _fp_tables()
+    t0 = time.perf_counter()
+    _fp_one(data, tables)
+    dt = time.perf_counter() - t0
+    assert dt < 0.8  # 4 MB in <0.8s => >5 MB/s/core floor (typ. >100)
+
+
 def test_salted_aggregation_exact(spark):
     from log_parser_spark.ops import skew
     # Zipf-ish: one hot key with 10x the rows
@@ -139,3 +218,15 @@ def test_salted_aggregation_exact(spark):
 
     rep = skew.salted_repartition(df, "key", 8)
     assert rep.count() == df.count()
+
+
+def test_salt_spreads_identical_duplicate_rows(spark):
+    """A hot key made of IDENTICAL rows (the crawl case) must still
+    spread over many salts — content-hash salting would not."""
+    from log_parser_spark.ops import skew
+    df = spark.createDataFrame([("hot", 1.0)] * 640, "key string, v double")
+    salted = skew.with_salt(df)
+    assert salted.select("_salt").distinct().count() >= 8
+    partials = skew.with_salt(df).groupBy("key", "_salt").count()
+    assert partials.count() >= 8  # >1 reducer handles the hot key
+    assert skew.salted_count(df, ["key"]).collect()[0]["n"] == 640
