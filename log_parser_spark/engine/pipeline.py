@@ -67,13 +67,33 @@ def _lineage_path(out_dir: str) -> str:
     return os.path.join(out_dir, "_lineage")
 
 
-def processed_buckets(spark: SparkSession, out_dir: str) -> set[int]:
+def processed_buckets(spark: SparkSession, out_dir: str,
+                      n_buckets: int | None = None,
+                      current_splits: dict[int, list[str]] | None = None
+                      ) -> set[int]:
+    """Buckets whose lineage says they're done.
+
+    A bucket only counts as done if its recorded n_buckets matches the
+    current run AND (when the current split assignment is provided) the
+    recorded split-id set equals the bucket's current membership —
+    re-running with a different n_buckets or after new input files land
+    would otherwise silently skip or double-process documents."""
     path = _lineage_path(out_dir)
     try:
-        rows = spark.read.json(path).select("bucket").distinct().collect()
-        return {r["bucket"] for r in rows}
+        rows = spark.read.json(path).select(
+            "bucket", "n_buckets", "splits").collect()
     except Exception:
         return set()
+    done = set()
+    for r in rows:
+        if n_buckets is not None and r["n_buckets"] != n_buckets:
+            continue
+        if current_splits is not None:
+            want = current_splits.get(r["bucket"])
+            if want is None or sorted(r["splits"] or []) != sorted(want):
+                continue
+        done.add(r["bucket"])
+    return done
 
 
 def run_pipeline(spark: SparkSession, out_dir: str,
@@ -96,11 +116,19 @@ def run_pipeline(spark: SparkSession, out_dir: str,
     os.makedirs(out_dir, exist_ok=True)
     sink_names = sink_names or list(SINK_BUILDERS)
 
-    done = processed_buckets(spark, out_dir) if resume else set()
+    all_splits = parquet_splits(pages_path) if pages_path else None
+    if all_splits is not None:
+        split_map = {b: [f"{os.path.basename(p)}#{rg}"
+                         for p, rg, _ in all_splits[b::n_buckets]]
+                     for b in range(n_buckets)}
+    else:
+        split_map = {b: [f"hashbucket-{b}"] for b in range(n_buckets)}
+
+    done = processed_buckets(spark, out_dir, n_buckets, split_map) \
+        if resume else set()
     pending = [b for b in range(n_buckets) if b not in done
                and (only_buckets is None or b in only_buckets)]
 
-    all_splits = parquet_splits(pages_path) if pages_path else None
     metrics = {"epoch": epoch, "buckets": [], "rows_out": {}}
 
     for bucket in pending:
@@ -111,7 +139,7 @@ def run_pipeline(spark: SparkSession, out_dir: str,
                 continue
             records_src = parse_splits(spark, splits)
             rows_in = sum(s[2] for s in splits)
-            split_ids = [f"{os.path.basename(p)}#{rg}" for p, rg, _ in splits]
+            split_ids = split_map[bucket]
         else:
             bucket_col = F.pmod(F.xxhash64("url"), F.lit(n_buckets))
             part = pages.filter(bucket_col == bucket)
@@ -143,8 +171,8 @@ def run_pipeline(spark: SparkSession, out_dir: str,
             rows_out[name] = _parquet_row_count(path)
 
         lineage_row = {
-            "bucket": bucket, "epoch": epoch, "rows_in": rows_in,
-            "splits": split_ids, "rows_out": rows_out,
+            "bucket": bucket, "epoch": epoch, "n_buckets": n_buckets,
+            "rows_in": rows_in, "splits": split_ids, "rows_out": rows_out,
             "wall_ms": int((time.time() - t0) * 1000),
         }
         lpath = _lineage_path(out_dir)

@@ -49,3 +49,26 @@ def test_pipeline_resume_skips_done(spark, pages_path, tmp_path):
     m = run_pipeline(spark, out, pages_path=pages_path, n_buckets=3,
                      sink_names=["quarantine"], resume=True, epoch=2)
     assert [b["bucket"] for b in m["buckets"]] == [1]
+
+
+def test_resume_guards_against_changed_bucketing(spark, pages_path,
+                                                 tmp_path):
+    """A lineage row from a different n_buckets, or whose recorded
+    split set no longer matches the bucket's membership, must NOT mark
+    the bucket done (documents would be skipped or double-processed)."""
+    out = str(tmp_path / "out")
+    run_pipeline(spark, out, pages_path=pages_path, n_buckets=2,
+                 sink_names=["quarantine"])
+
+    # same splits, different n_buckets -> everything reprocessed
+    m = run_pipeline(spark, out, pages_path=pages_path, n_buckets=3,
+                     sink_names=["quarantine"], resume=True, epoch=1)
+    assert [b["bucket"] for b in m["buckets"]] == [0, 1, 2]
+
+    # changed split membership (e.g. new input files landed) -> the
+    # recorded split set no longer matches and the bucket is not done
+    assert processed_buckets(spark, out, n_buckets=2) == {0, 1}
+    done = processed_buckets(
+        spark, out, n_buckets=2,
+        current_splits={0: ["not-the-same#0"], 1: ["neither#0"]})
+    assert done == set()
