@@ -45,6 +45,7 @@ SINK_BUILDERS = {
         branches.warnings(r), branches.cf_registry(r)),
     "parsed_meta": lambda r: branches.metadata(r),
     "parsed_json": lambda r: _parsed_json(r),
+    "parsed_json_report": lambda r: _parsed_json_report(r),
     "quarantine": lambda r: branches.quarantine(r),
 }
 
@@ -52,6 +53,12 @@ SINK_BUILDERS = {
 def _parsed_json(records):
     from log_parser_spark.engine.summary import parsed_json_sink
     return parsed_json_sink(records)
+
+
+def _parsed_json_report(records):
+    """S9 exact: reference get_json shape per url (summary module)."""
+    from log_parser_spark.engine.summary import parsed_json_report
+    return parsed_json_report(records)
 
 
 def _parquet_row_count(path: str) -> int:

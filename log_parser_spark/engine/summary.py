@@ -72,3 +72,56 @@ def parsed_json_sink(records: DataFrame,
     return out.withColumn(
         "summary_json",
         F.to_json(F.struct(*[c for c in out.columns if c != "url"])))
+
+
+def parsed_json_report(records: DataFrame) -> DataFrame:
+    """S9 exact: the reference-shaped get_json report per url
+    (json_outputter.py:231-254), byte-comparable modulo the baseline log
+    path.
+
+    Spark shape: assembling one report needs ALL of a url's records, so
+    this is document-level work — groupBy(url).applyInPandas with the
+    pure-Python renderer (engine/json_render.py) inside.  Scales like
+    the parser itself: per-url tasks, one shuffle on url, no driver-side
+    loops.  The vendored baseline-options dim (a few thousand rows) is
+    captured in the closure instead of re-parsing baseline logs per
+    task."""
+    import json as _json
+
+    import pyarrow.parquet as _pq
+
+    from log_parser_spark.engine import options_diff as od
+    from log_parser_spark.engine.json_render import (
+        baseline_from_options_rows, render_parsed_json)
+
+    from log_parser_spark.queries import BASELINE_OPTS_PATH
+    btab = _pq.read_table(BASELINE_OPTS_PATH).to_pylist()
+    baseline_rows = [(r["product"], r["bversion"], r["section"], r["cf"],
+                      r["option"], r["bvalue"]) for r in btab]
+    baseline_dir = od.BASELINE_LOGS_DIR
+
+    src = records.withColumn("attrs_json", F.to_json("attrs")).drop("attrs")
+
+    def render(pdf):
+        import pandas as pd
+        pdf = pdf.sort_values("seq")
+        recs = []
+        for row in pdf.itertuples(index=False):
+            r = row._asdict()
+            r["attrs"] = _json.loads(r["attrs_json"]) \
+                if r["attrs_json"] else None
+            recs.append(r)
+        url = recs[0]["url"]
+        meta = {}
+        for r in recs:
+            if r["kind"] == "metadata":
+                meta.setdefault(r["name"], r["msg"])
+        baseline = baseline_from_options_rows(
+            baseline_rows, meta.get("product_name"), meta.get("version"),
+            baseline_dir)
+        j = render_parsed_json(url, recs, baseline=baseline)
+        return pd.DataFrame({"url": [url],
+                             "summary_json": [_json.dumps(j)]})
+
+    return src.groupBy("url").applyInPandas(
+        render, schema="url string, summary_json string")

@@ -637,6 +637,17 @@ def log_options_common_unique(spark, sf_dir):
     return out.groupBy("scope").agg(F.count(F.lit(1)).alias("n"))
 
 
+def log_parsed_json_report(spark, sf_dir):
+    """S9 exact: reference-shaped get_json report per url (rows-only —
+    the nested humanized JSON is not SQL-expressible; parity vs the
+    reference is asserted in tests/test_json_parity.py over the full
+    corpus)."""
+    from log_parser_spark.engine.session import ensure_workers_can_import
+    from log_parser_spark.engine.summary import parsed_json_report
+    ensure_workers_can_import(spark)
+    return parsed_json_report(_records(spark))
+
+
 def log_parsed_summaries(spark, sf_dir):
     """S9: per-url parsed_json summary rows."""
     from log_parser_spark.engine.summary import parsed_json_sink
@@ -1052,4 +1063,5 @@ QUERIES = {
     "log_options_vs_baseline": log_options_vs_baseline,
     "log_options_common_unique": log_options_common_unique,
     "log_parsed_summaries": log_parsed_summaries,
+    "log_parsed_json_report": log_parsed_json_report,
 }
