@@ -39,6 +39,236 @@ _DOMAINS = [("hot.example.com", 64, "en"), ("warm.example.org", 16, "de"),
             ("cold.example.dev", 2, "es"), ("tiny.example.ai", 1, "en")]
 
 
+_COMP_HEADER = (
+    "Level    Files   Size     Score Read(GB)  Rn(GB) Rnp1(GB) Write(GB) "
+    "Wnew(GB) Moved(GB) W-Amp Rd(MB/s) Wr(MB/s) Comp(sec) "
+    "CompMergeCPU(sec) Comp(cnt) Avg(sec) KeyIn KeyDrop Rblob(GB) "
+    "Wblob(GB)")
+_COMP_SEP = "-" * 192
+_COMP_ROW = ("{lvl:>4} {files:>7} {size:>10}   {score:.1f}      0.0     "
+             "0.0      0.0       0.0      0.0       0.0   {wamp}      "
+             "0.0      0.0      {comp_sec}              0.00         1"
+             "    0.100       0      0       0.0       0.0")
+
+
+def _tp_json(cf, cf_id, file_number, micros, file_size, data, index, filt,
+             raw_k, raw_v, entries, filt_entries, policy, compression):
+    """A table_file_creation EVENT_LOG_v1 payload with the full
+    real-log property set (values synthetic)."""
+    return (
+        f'{{"time_micros": {micros}, "cf_name": "{cf}", "job": 1, '
+        f'"event": "table_file_creation", "file_number": {file_number}, '
+        f'"file_size": {file_size}, "file_checksum": "", '
+        f'"file_checksum_func_name": "Unknown", "table_properties": '
+        f'{{"data_size": {data}, "index_size": {index}, '
+        f'"index_partitions": 0, "top_level_index_size": 0, '
+        f'"index_key_is_user_key": 1, "index_value_is_delta_encoded": 1, '
+        f'"filter_size": {filt}, "raw_key_size": {raw_k}, '
+        f'"raw_average_key_size": 24, "raw_value_size": {raw_v}, '
+        f'"raw_average_value_size": 64, "num_data_blocks": 100, '
+        f'"num_entries": {entries}, "num_filter_entries": {filt_entries}, '
+        f'"num_deletions": 0, "num_merge_operands": 0, '
+        f'"num_range_deletions": 0, "format_version": 0, '
+        f'"fixed_key_len": 0, "filter_policy": "{policy}", '
+        f'"column_family_name": "{cf}", "column_family_id": {cf_id}, '
+        f'"comparator": "leveldb.BytewiseComparator", '
+        f'"merge_operator": "nullptr", "prefix_extractor_name": "nullptr", '
+        f'"property_collectors": "[]", "compression": "{compression}", '
+        f'"creation_time": 1675245600, "oldest_key_time": 0, '
+        f'"file_creation_time": 1675245600, '
+        f'"slow_compression_estimated_data_size": 0, '
+        f'"fast_compression_estimated_data_size": 0, '
+        f'"db_id": "synthetic", "db_session_id": "SYNTHSTATS0000000001"}}}}')
+
+
+def synthetic_stats_log() -> str:
+    """A deterministic, fully-synthetic LOG exercising the statistics
+    surfaces the shipped fixtures leave empty: seek counters + seek
+    latency histogram (A6), bloom filter counters (A18 FP rate), partial
+    per-cf growth between stats dumps (A15 total-growth rules), and
+    block-cache options + dump + counters (A22).  Parses cleanly under
+    BOTH our engine and the reference (asserted by the parity tests).
+    """
+    D = "2023/02/01"
+    tid = "7f0000000777"
+
+    def t(sec, us=0):
+        m, s = divmod(sec, 60)
+        return f"{D}-10:{m:02d}:{s:02d}.{us:06d} {tid}"
+
+    table_opts = (
+        "            table_factory options:   flush_block_policy_factory: "
+        "FlushBlockBySizePolicyFactory (0x7f0000000002)\n"
+        "  cache_index_and_filter_blocks: {cif}\n"
+        "  no_block_cache: 0\n"
+        "  block_cache: 0x7f00000000aa\n"
+        "  block_cache_name: LRUCache\n"
+        "  block_cache_options:\n"
+        "    capacity : 8388608\n"
+        "    num_shard_bits : 4\n"
+        "  block_cache_compressed: (nil)\n"
+        "  filter_policy: {policy}\n"
+        "  block_size: 4096")
+
+    lines = [
+        f"{t(0, 0)} RocksDB version: 7.7.3",
+        f"{t(0, 1)} Git sha deadbeef0123456789",
+        f"{t(0, 2)} DB Session ID:  SYNTHSTATS0000000001",
+        f"{t(0, 10)}                         Options.error_if_exists: 0",
+        f"{t(0, 11)}                       Options.create_if_missing: 1",
+        f"{t(0, 12)}                              Options.statistics: "
+        f"0x7f0000000001",
+        # db-wide options end at the support-info block
+        # (log_file.py find_support_info_start_index)
+        f"{t(0, 20)} Compression algorithms supported:",
+        f"{t(0, 21)} \tkZSTD supported: 1",
+        f"{t(0, 22)} Fast CRC32 supported: Supported on x86",
+        f"{t(0, 100)} [/column_family.cc:610] --------------- Options for "
+        f"column family [default]:",
+        f"{t(0, 101)}               Options.comparator: "
+        f"leveldb.BytewiseComparator",
+        f"{t(0, 102)}         Options.compaction_style: "
+        f"kCompactionStyleLevel",
+        f"{t(0, 103)}              Options.compression: Snappy",
+        f"{t(0, 104)}            Options.table_factory: BlockBasedTable",
+        f"{t(0, 105)} " + table_opts.format(cif=1, policy="bloomfilter"),
+        f"{t(0, 106)}        Options.write_buffer_size: 67108864",
+        f"{t(0, 110)} [/version_set.cc:4649] Column family [default] "
+        f"(ID 0), log number is 0",
+        f"{t(0, 200)} [/column_family.cc:610] --------------- Options for "
+        f"column family [cfa]:",
+        f"{t(0, 201)}               Options.comparator: "
+        f"leveldb.BytewiseComparator",
+        f"{t(0, 202)}              Options.compression: NoCompression",
+        f"{t(0, 203)}            Options.table_factory: BlockBasedTable",
+        f"{t(0, 204)} " + table_opts.format(cif=0, policy="nullptr"),
+        f"{t(0, 205)}        Options.write_buffer_size: 67108864",
+        f"{t(0, 210)} [/db_impl/db_impl.cc:2773] Created column family "
+        f"[cfa] (ID 1)",
+        # files: two bloom-filtered Snappy files for default (one later
+        # deleted), one filter-less NoCompression file for cfa
+        f"{t(5)} EVENT_LOG_v1 " + _tp_json(
+            "default", 0, 10, 1675245605000000, 2_000_000, 1_800_000,
+            50_000, 25_000, 1_200_000, 2_400_000, 50_000, 50_000,
+            "bloomfilter", "Snappy"),
+        f"{t(6)} EVENT_LOG_v1 " + _tp_json(
+            "default", 0, 11, 1675245606000000, 3_000_000, 2_700_000,
+            60_000, 30_000, 1_500_000, 3_000_000, 60_000, 60_000,
+            "bloomfilter", "Snappy"),
+        f"{t(7)} EVENT_LOG_v1 " + _tp_json(
+            "cfa", 1, 12, 1675245607000000, 1_000_000, 900_000,
+            20_000, 0, 500_000, 1_000_000, 20_000, 0,
+            "", "NoCompression").replace('"job": 1', '"job": 3'),
+        f'{t(8)} EVENT_LOG_v1 {{"time_micros": 1675245608000000, '
+        f'"cf_name": "default", "job": 2, "event": "table_file_deletion", '
+        f'"file_number": 10}}',
+    ]
+
+    def stats_dump(sec, cfs):
+        body = [
+            f"{t(sec)} [/db_impl/db_impl.cc:1007] ------- DUMPING STATS "
+            f"-------",
+            f"{t(sec, 100)} [/db_impl/db_impl.cc:1009] \n"
+            "** DB Stats **\n"
+            f"Uptime(secs): {sec}.0 total, {sec}.0 interval\n"
+            f"Cumulative writes: 1000 writes, {sec * 100} keys, 100 commit "
+            "groups, 10.0 writes per commit group, ingest: 0.10 GB, "
+            "3.41 MB/s\n"
+            "Cumulative WAL: 0 writes, 0 syncs, 0.00 writes per sync, "
+            "written: 0.00 GB, 0.00 MB/s\n"
+            "Cumulative stall: 00:00:0.000 H:M:S, 0.0 percent\n"
+            "Interval writes: 0 writes, 0 keys, 0 commit groups, 0.0 "
+            "writes per commit group, ingest: 0.00 MB, 0.00 MB/s\n"
+            "Interval WAL: 0 writes, 0 syncs, 0.00 writes per sync, "
+            "written: 0.00 GB, 0.00 MB/s\n"
+            "Interval stall: 00:00:0.000 H:M:S, 0.0 percent\n"
+            + "".join(
+                f"\n** Compaction Stats [{cf}] **\n"
+                f"{_COMP_HEADER}\n{_COMP_SEP}\n" + "\n".join(
+                    _COMP_ROW.format(
+                        lvl=lvl, files=files, size=size, score=0.5,
+                        wamp=wamp, comp_sec="0.50")
+                    for lvl, files, size, wamp in rows) + "\n"
+                for cf, rows in cfs)
+            + "\nBlock cache LRUCache@0x7f00000000aa#777 capacity: 8.00 MB "
+            "collections: 1 last_copies: 0 last_secs: 1.3e-05 "
+            "secs_since: 0\n"
+            "Block cache entry stats(count,size,portion): "
+            "Misc(1,0.00 KB,0%) DataBlock(4,16.00 KB,0.195313%)\n"
+            "Block cache [default] DataBlock(12.00 KB) IndexBlock(6.00 KB)"
+            "\n\n"
+            "** File Read Latency Histogram By Level [default] **\n"
+            "** Level 0 read latency histogram (micros):\n"
+            f"Count: {sec * 10} Average: 50.0000  StdDev: 10.00\n"
+            "Min: 1  Median: 45.0000  Max: 300\n"
+            "Percentiles: P50: 45.00 P75: 60.00 P99: 200.00 P99.9: 290.00 "
+            "P99.99: 300.00\n"
+            "------------------------------------------------------\n"
+            "[       0,       1 ]        2   2.000%   2.000% \n",
+        ]
+        return body
+
+    def statistics_dump(sec, mult):
+        counters = [
+            ("rocksdb.block.cache.miss", 500), ("rocksdb.block.cache.hit",
+                                                1500),
+            ("rocksdb.block.cache.add", 400),
+            ("rocksdb.block.cache.index.miss", 50),
+            ("rocksdb.block.cache.index.hit", 100),
+            ("rocksdb.block.cache.index.add", 40),
+            ("rocksdb.block.cache.filter.miss", 30),
+            ("rocksdb.block.cache.filter.hit", 60),
+            ("rocksdb.block.cache.filter.add", 20),
+            ("rocksdb.block.cache.data.miss", 420),
+            ("rocksdb.block.cache.data.hit", 1340),
+            ("rocksdb.block.cache.data.add", 340),
+            ("rocksdb.bloom.filter.useful", 800),
+            ("rocksdb.bloom.filter.full.positive", 200),
+            ("rocksdb.bloom.filter.full.true.positive", 150),
+            ("rocksdb.number.keys.written", 5000),
+            ("rocksdb.number.keys.read", 2000),
+            ("rocksdb.number.db.seek", 100),
+            ("rocksdb.number.db.next", 300),
+            ("rocksdb.number.db.prev", 50),
+            ("rocksdb.number.db.seek.found", 80),
+        ]
+        lines = [f"{name} COUNT : {v * mult}" for name, v in counters]
+        lines.append(
+            f"rocksdb.db.get.micros P50 : 10.000000 P95 : 50.000000 "
+            f"P99 : 90.000000 P100 : 120.000000 COUNT : {2000 * mult} "
+            f"SUM : {30000 * mult}")
+        lines.append(
+            f"rocksdb.db.seek.micros P50 : 20.000000 P95 : 80.000000 "
+            f"P99 : 150.000000 P100 : 200.000000 COUNT : {100 * mult} "
+            f"SUM : {5000 * mult}")
+        return [f"{t(sec)} [/db_impl/db_impl.cc:761] STATISTICS:\n "
+                + "\n ".join(lines)]
+
+    lines += stats_dump(30, [
+        ("default", [("L0", "2/0", "2.00 MB", "1.0"),
+                     ("L1", "4/0", "10.00 MB", "2.0"),
+                     ("Sum", "6/0", "12.00 MB", "1.5"),
+                     ("Int", "0/0", "0.00 KB", "0.0")]),
+        ("cfa", [("L0", "1/0", "1.00 MB", "1.0"),
+                 ("Sum", "1/0", "1.00 MB", "1.0"),
+                 ("Int", "0/0", "0.00 KB", "0.0")]),
+    ])
+    lines += statistics_dump(35, 1)
+    # second dump: cfa missing entirely (partial growth), default grows
+    # and gains a level that was absent at start
+    lines += stats_dump(90, [
+        ("default", [("L0", "4/0", "4.00 MB", "1.5"),
+                     ("L1", "4/0", "10.00 MB", "2.5"),
+                     ("L2", "2/0", "6.00 MB", "3.0"),
+                     ("Sum", "10/0", "20.00 MB", "2.0"),
+                     ("Int", "0/0", "0.00 KB", "0.0")]),
+    ])
+    lines += statistics_dump(95, 6)
+    lines.append(f"{t(100)} [/db_impl/db_impl.cc:500] Shutdown: "
+                 f"canceling all background work")
+    return "\n".join(lines) + "\n"
+
+
 def load_corpus_logs() -> dict[str, str]:
     """corpus_log_id -> verbatim log text (FIXTURES.md §2)."""
     logs: dict[str, str] = {}
@@ -53,6 +283,7 @@ def load_corpus_logs() -> dict[str, str]:
     for path in sorted(glob.glob(os.path.join(BASELINE_LOGS, "LOG-*"))):
         with open(path) as f:
             logs[os.path.basename(path)] = f.read()
+    logs["synthetic_stats"] = synthetic_stats_log()
     return logs
 
 

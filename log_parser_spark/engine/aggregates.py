@@ -68,6 +68,8 @@ def user_opers_stats(counters: DataFrame) -> DataFrame:
 _SEEK_COUNTERS = ["rocksdb.number.db.seek", "rocksdb.number.db.seek.found",
                   "rocksdb.number.db.next", "rocksdb.number.db.prev"]
 
+_TS_FMT = "yyyy/MM/dd-HH:mm:ss.SSSSSS"
+
 
 def seek_stats(counters: DataFrame) -> DataFrame:
     """calc_utils.py:935-1007: (last - first) deltas for seek counters."""
@@ -77,6 +79,49 @@ def seek_stats(counters: DataFrame) -> DataFrame:
                           F.col("last_value") - F.col("first_value"))
             .groupBy("url").pivot("name", _SEEK_COUNTERS)
             .agg(F.first("delta")).na.fill(0))
+
+
+def seek_stats_full(counters: DataFrame, histograms: DataFrame) -> DataFrame:
+    """A6 complete (calc_utils.py:946-1007): counter deltas + avg seek
+    range + seeks/sec over the seek counter's time span + avg latency
+    from the LAST seek-latency histogram entry (rate and latency are 0
+    unless that entry exists with Count > 0, like the reference).
+    One row per url with seek activity (num_seeks != 0)."""
+    deltas = (counters.filter(F.col("name").isin(_SEEK_COUNTERS))
+              .groupBy("url", "name")
+              .agg((F.max_by("value", "seq") - F.min_by("value", "seq"))
+                   .alias("delta"),
+                   F.min_by("ts", "seq").alias("first_ts"),
+                   F.max_by("ts", "seq").alias("last_ts")))
+    p = deltas.groupBy("url").pivot("name", _SEEK_COUNTERS).agg(
+        F.first("delta")).na.fill(0)
+    span = (deltas.filter(F.col("name") == "rocksdb.number.db.seek")
+            .select("url",
+                    (F.unix_micros(F.to_timestamp("last_ts", _TS_FMT))
+                     - F.unix_micros(F.to_timestamp("first_ts", _TS_FMT)))
+                    .alias("span_us")))
+    hist = (histograms.filter(F.col("name") == "rocksdb.db.seek.micros")
+            .groupBy("url")
+            .agg(F.max_by(F.struct("count", "average"), "seq").alias("h")))
+
+    out = (p.join(span, "url", "inner").join(hist, "url", "left")
+           .withColumnRenamed("rocksdb.number.db.seek", "num_seeks")
+           .withColumnRenamed("rocksdb.number.db.seek.found",
+                              "num_found_seeks")
+           .withColumnRenamed("rocksdb.number.db.next", "num_nexts")
+           .withColumnRenamed("rocksdb.number.db.prev", "num_prevs")
+           .filter(F.col("num_seeks") != 0))
+    has_hist = F.col("h").isNotNull() & (F.col("h.count") > 0)
+    return out.select(
+        "url", "num_seeks", "num_found_seeks", "num_nexts", "num_prevs",
+        F.round((F.col("num_prevs") + F.col("num_nexts"))
+                / F.col("num_seeks"), 6).alias("avg_seek_range_size"),
+        F.round(F.when(has_hist & (F.col("span_us") > 0),
+                       F.col("num_seeks")
+                       / (F.col("span_us") / 1_000_000.0))
+                .otherwise(0.0), 6).alias("avg_seek_rate_per_second"),
+        F.round(F.when(has_hist, F.col("h.average")).otherwise(0.0), 6)
+        .alias("avg_seek_latency_us"))
 
 
 # -- A7: table-creation stats per cf --------------------------------------
@@ -291,6 +336,163 @@ def filter_stats(events: DataFrame) -> DataFrame:
         F.round(F.when(F.col("total_filter_entries") > 0,
                        8.0 * F.col("total_filter_size")
                        / F.col("total_filter_entries")).otherwise(0.0), 6))
+
+
+_BLOOM_COUNTERS = ["rocksdb.bloom.filter.useful",
+                   "rocksdb.bloom.filter.full.positive",
+                   "rocksdb.bloom.filter.full.true.positive"]
+
+
+def filter_effectiveness_counters(counters: DataFrame) -> DataFrame:
+    """A18 complete (calc_utils.py:1080-1149): bloom counter rollup with
+    the 1-in-N false-positive rate.  One row per url that dumped any
+    counters; missing bloom counters default to 0 like the reference's
+    get_last_counter_value."""
+    last = (counters.filter(F.col("name").isin(_BLOOM_COUNTERS))
+            .groupBy("url", "name")
+            .agg(F.max_by("value", "seq").alias("v")))
+    p = (counters.select("url").distinct()
+         .join(last.groupBy("url").pivot("name", _BLOOM_COUNTERS)
+               .agg(F.first("v")), "url", "left").na.fill(0)
+         .withColumnRenamed("rocksdb.bloom.filter.useful", "negatives")
+         .withColumnRenamed("rocksdb.bloom.filter.full.positive",
+                            "positives")
+         .withColumnRenamed("rocksdb.bloom.filter.full.true.positive",
+                            "true_positives"))
+    fp = (F.col("positives") - F.col("true_positives")).alias(
+        "false_positives")
+    return p.select(
+        "url", "negatives", "positives", "true_positives", fp,
+        F.when(F.col("positives") - F.col("true_positives") > 0,
+               F.floor((F.col("negatives") + F.col("positives"))
+                       / (F.col("positives") - F.col("true_positives")))
+               .cast("long")).otherwise(F.lit(0).cast("long"))
+        .alias("one_in_n_fpr"))
+
+
+def growth_total(comp_stats: DataFrame, cf_registry: DataFrame) -> DataFrame:
+    """A15 complete (calc_utils.py:101-214): db-wide growth between the
+    FIRST and LAST stats dump with the reference's partial-data rules —
+    a cf contributes only if every level seen at start is also present
+    at the end (levels appearing only at the end contribute (0 -> end)).
+
+    Dump-time semantics: 'first/last dump' are the first/last dump
+    timestamps per url, not per-cf extremes."""
+    lv = comp_stats.filter(F.col("level_key").startswith("LEVEL-")).select(
+        "url", "ts", "cf", "seq",
+        F.regexp_extract("level_key", r"LEVEL-(\d+)", 1).cast("int")
+        .alias("level"),
+        F.element_at("attrs", "size_bytes").cast("long").alias("size"),
+        F.element_at("attrs", "Num-Files").cast("long").alias("files"))
+    bounds = comp_stats.groupBy("url").agg(
+        F.min_by("ts", "seq").alias("first_ts"),
+        F.max_by("ts", "seq").alias("last_ts"))
+    first = (lv.join(bounds, "url")
+             .filter(F.col("ts") == F.col("first_ts"))
+             .select("url", "cf", "level", F.col("size").alias("start_size"),
+                     F.col("files").alias("start_files")))
+    last = (lv.join(bounds, "url")
+            .filter(F.col("ts") == F.col("last_ts"))
+            .select("url", "cf", "level", F.col("size").alias("end_size"),
+                    F.col("files").alias("end_files")))
+    g = first.join(last, ["url", "cf", "level"], "full_outer")
+
+    contrib_start = F.coalesce("start_size", F.lit(0))
+    contrib_files_start = F.coalesce("start_files", F.lit(0))
+    per_cf = g.groupBy("url", "cf").agg(
+        F.max(F.when(F.col("end_size").isNull(), 1).otherwise(0))
+        .alias("excluded"),
+        F.sum(contrib_start).alias("start_size_bytes"),
+        F.sum(contrib_files_start).alias("start_num_files"),
+        F.sum("end_size").alias("end_size_bytes"),
+        F.sum("end_files").alias("end_num_files"))
+
+    # num_cfs = |non-auto registry cfs  U  cfs appearing in the dumps|
+    reg = (cf_registry.filter(~F.col("auto_generated"))
+           .select("url", "cf").distinct())
+    all_cfs = reg.unionByName(per_cf.select("url", "cf")).distinct()
+    n_cfs = all_cfs.groupBy("url").agg(F.count("*").alias("num_cfs"))
+
+    included = per_cf.filter(F.col("excluded") == 0)
+    totals = included.groupBy("url").agg(
+        F.count("*").alias("num_included_cfs"),
+        F.sum("start_size_bytes").alias("start_size_bytes"),
+        F.sum("start_num_files").alias("start_num_files"),
+        F.sum("end_size_bytes").alias("end_size_bytes"),
+        F.sum("end_num_files").alias("end_num_files"))
+    return (n_cfs.join(totals, "url", "left")
+            .na.fill({"num_included_cfs": 0})
+            .join(comp_stats.select("url").distinct(), "url", "left_semi"))
+
+
+_CACHE_OPTS = ["block_cache", "block_cache_name", "block_cache_capacity",
+               "block_cache_num_shard_bits"]
+
+
+def block_cache_files_stats(options: DataFrame,
+                            events: DataFrame) -> DataFrame:
+    """A22 complete (cache_utils.py:98-232): per (url, cache-id) cache
+    options joined with the member cf-s' live file block stats (index /
+    filter block sizes from the file-lifecycle replay).  Zero-size
+    blocks never count (db_files.py:90-92)."""
+    topts = options.filter(F.col("section") == "table").groupBy(
+        "url", "cf").pivot("option", _CACHE_OPTS).agg(
+        F.min_by("value", "seq"))
+    ptr = F.regexp_extract("block_cache", r"(0x[\dA-Fa-f]+)", 1)
+    member = (topts
+              .filter(F.col("block_cache").isNotNull()
+                      & (~F.lower("block_cache").isin(
+                          "none", "(nil)", "nil", "nullptr", "null", "0x0"))
+                      & (ptr != "")
+                      & F.col("block_cache_name").isNotNull()
+                      & F.col("block_cache_capacity").isNotNull()
+                      & F.col("block_cache_num_shard_bits").isNotNull())
+              .select("url", "cf",
+                      F.concat("block_cache_name", F.lit("@"), ptr)
+                      .alias("cache_id"),
+                      F.col("block_cache_capacity").cast("long")
+                      .alias("capacity"),
+                      F.col("block_cache_num_shard_bits").cast("int")
+                      .alias("shard_bits")))
+
+    files = joins.file_lifecycle(events).select(
+        "url", "cf", "status",
+        F.col("p.table_properties.index_size").alias("index_size"),
+        F.col("p.table_properties.filter_size").alias("filter_size"))
+    per_cf = files.join(member.select("url", "cf", "cache_id"),
+                        ["url", "cf"], "inner")
+
+    def block(col):
+        nz = F.when(F.col(col) > 0, F.col(col))
+        alive = F.when((F.col("status") == "Alive") & (F.col(col) > 0),
+                       F.col(col))
+        return [
+            F.sum(alive).alias(f"{col[:-5]}_total_live"),
+            F.count(nz).alias(f"{col[:-5]}_num_created"),
+            F.round(F.when(F.count(nz) > 0, F.sum(nz) / F.count(nz))
+                    .otherwise(0.0), 6).alias(f"{col[:-5]}_avg"),
+            F.max(nz).alias(f"{col[:-5]}_max"),
+        ]
+
+    stats = per_cf.groupBy("url", "cache_id").agg(
+        F.count("*").alias("n_files"),
+        *block("index_size"), *block("filter_size"))
+
+    caches = member.groupBy("url", "cache_id").agg(
+        F.min("capacity").alias("capacity"),
+        F.min("shard_bits").alias("shard_bits"),
+        F.count("*").alias("n_member_cfs"))
+    num_shards = F.pow(F.lit(2.0), F.col("shard_bits")).cast("long")
+    out = (caches.join(stats, ["url", "cache_id"], "left")
+           .withColumn("num_shards", num_shards)
+           .withColumn("shard_size",
+                       F.floor((F.col("capacity") + num_shards - 1)
+                               / num_shards).cast("long")))
+    return out.select(
+        "url", "cache_id", "capacity", "num_shards", "shard_size",
+        "n_member_cfs", "n_files",
+        "index_total_live", "index_avg", "index_max",
+        "filter_total_live", "filter_avg", "filter_max")
 
 
 # -- A19/A20: read latency per cf + read density ------------------------------------

@@ -64,8 +64,8 @@ FLUSH_BUCKETS_MB = [2, 10, 32, 64]
 # ------------------------------------------------------------ formatting
 
 def human_bytes(n) -> str:
-    """utils.get_human_readable_num_bytes."""
-    n = int(n)
+    """utils.get_human_readable_num_bytes (no int coercion: the
+    reference str()s whatever numeric type it gets)."""
     if n < 2 ** 10:
         return f"{n} B"
     for unit, div in (("KB", 2 ** 10), ("MB", 2 ** 20), ("GB", 2 ** 30),
@@ -76,8 +76,8 @@ def human_bytes(n) -> str:
 
 
 def human_num(n) -> str:
-    """utils.get_human_readable_number."""
-    n = int(n)
+    """utils.get_human_readable_number (raw str() below 10^4 — floats
+    keep their full repr, exactly like the reference)."""
     assert n >= 0
     if n < 10 ** 4:
         return str(n)

@@ -637,6 +637,37 @@ def log_options_common_unique(spark, sf_dir):
     return out.groupBy("scope").agg(F.count(F.lit(1)).alias("n"))
 
 
+def log_seek_stats(spark, sf_dir):
+    """A6 complete: seek counter deltas + range + rate/sec + latency."""
+    from log_parser_spark.engine import aggregates, branches
+    r = _records(spark)
+    return aggregates.seek_stats_full(branches.counters(r),
+                                      branches.histograms(r))
+
+
+def log_filter_effectiveness(spark, sf_dir):
+    """A18 complete: bloom counter rollup + 1-in-N FP rate."""
+    from log_parser_spark.engine import aggregates, branches
+    return aggregates.filter_effectiveness_counters(
+        branches.counters(_records(spark)))
+
+
+def log_growth_total(spark, sf_dir):
+    """A15 complete: db-wide growth with partial-data rules."""
+    from log_parser_spark.engine import aggregates, branches
+    r = _records(spark)
+    return aggregates.growth_total(branches.comp_stats(r),
+                                   branches.cf_registry(r))
+
+
+def log_block_cache(spark, sf_dir):
+    """A22 complete: cache options x member-cf file block stats."""
+    from log_parser_spark.engine import aggregates, branches
+    r = _records(spark)
+    return aggregates.block_cache_files_stats(branches.options(r),
+                                              branches.events(r))
+
+
 def log_parsed_json_report(spark, sf_dir):
     """S9 exact: reference-shaped get_json report per url (rows-only —
     the nested humanized JSON is not SQL-expressible; parity vs the
@@ -898,6 +929,230 @@ FROM meta m LEFT JOIN dbsize d USING (url)
 """
 
 
+_SEEK_NAMES = ("'rocksdb.number.db.seek'", "'rocksdb.number.db.seek.found'",
+               "'rocksdb.number.db.next'", "'rocksdb.number.db.prev'")
+
+LOG_SEEK_STATS_SQL = f"""
+WITH sc AS (
+  SELECT url, name, ts, value, seq FROM {_R}
+  WHERE kind = 'counter' AND name IN ({", ".join(_SEEK_NAMES)})),
+d AS (
+  SELECT url, name,
+         arg_max(value, seq) - arg_min(value, seq) AS delta,
+         arg_min(ts, seq) AS first_ts, arg_max(ts, seq) AS last_ts
+  FROM sc GROUP BY url, name),
+p AS (
+  SELECT url,
+    CAST(coalesce(max(CASE WHEN name = 'rocksdb.number.db.seek'
+                       THEN delta END), 0) AS BIGINT) AS num_seeks,
+    CAST(coalesce(max(CASE WHEN name = 'rocksdb.number.db.seek.found'
+                       THEN delta END), 0) AS BIGINT) AS num_found_seeks,
+    CAST(coalesce(max(CASE WHEN name = 'rocksdb.number.db.next'
+                       THEN delta END), 0) AS BIGINT) AS num_nexts,
+    CAST(coalesce(max(CASE WHEN name = 'rocksdb.number.db.prev'
+                       THEN delta END), 0) AS BIGINT) AS num_prevs
+  FROM d GROUP BY url),
+span AS (
+  SELECT url,
+         epoch_us(strptime(last_ts, '%Y/%m/%d-%H:%M:%S.%f'))
+         - epoch_us(strptime(first_ts, '%Y/%m/%d-%H:%M:%S.%f')) AS span_us
+  FROM d WHERE name = 'rocksdb.number.db.seek'),
+h AS (
+  SELECT url,
+         arg_max(CAST(json_extract_string(attrs_json, '$.Count')
+                      AS BIGINT), seq) AS cnt,
+         arg_max(CAST(json_extract_string(attrs_json, '$.Average')
+                      AS DOUBLE), seq) AS avg
+  FROM {_R} WHERE kind = 'histogram'
+    AND name = 'rocksdb.db.seek.micros' GROUP BY url)
+SELECT p.url, num_seeks, num_found_seeks, num_nexts, num_prevs,
+  CAST(round((num_prevs + num_nexts) * 1.0 / num_seeks, 6) AS DOUBLE)
+    AS avg_seek_range_size,
+  CAST(round(CASE WHEN coalesce(h.cnt, 0) > 0 AND span_us > 0
+                  THEN num_seeks / (span_us / 1000000.0)
+                  ELSE 0.0 END, 6) AS DOUBLE) AS avg_seek_rate_per_second,
+  CAST(round(CASE WHEN coalesce(h.cnt, 0) > 0 THEN h.avg
+                  ELSE 0.0 END, 6) AS DOUBLE) AS avg_seek_latency_us
+FROM p JOIN span USING (url) LEFT JOIN h ON p.url = h.url
+WHERE num_seeks != 0
+"""
+
+_BLOOM = ("'rocksdb.bloom.filter.useful'",
+          "'rocksdb.bloom.filter.full.positive'",
+          "'rocksdb.bloom.filter.full.true.positive'")
+
+LOG_FILTER_EFFECTIVENESS_SQL = f"""
+WITH c AS (SELECT url, name, value, seq FROM {_R} WHERE kind = 'counter'),
+last AS (SELECT url, name, arg_max(value, seq) AS v FROM c
+         WHERE name IN ({", ".join(_BLOOM)}) GROUP BY url, name),
+p AS (
+  SELECT u.url,
+    CAST(coalesce(max(CASE WHEN name = 'rocksdb.bloom.filter.useful'
+                       THEN v END), 0) AS BIGINT) AS negatives,
+    CAST(coalesce(max(CASE WHEN name = 'rocksdb.bloom.filter.full.positive'
+                       THEN v END), 0) AS BIGINT) AS positives,
+    CAST(coalesce(max(CASE WHEN name =
+                       'rocksdb.bloom.filter.full.true.positive'
+                       THEN v END), 0) AS BIGINT) AS true_positives
+  FROM (SELECT DISTINCT url FROM c) u
+  LEFT JOIN last ON u.url = last.url GROUP BY u.url)
+SELECT url, negatives, positives, true_positives,
+  CAST(positives - true_positives AS BIGINT) AS false_positives,
+  CAST(CASE WHEN positives - true_positives > 0
+            THEN floor((negatives + positives) * 1.0
+                       / (positives - true_positives))
+            ELSE 0 END AS BIGINT) AS one_in_n_fpr
+FROM p
+"""
+
+LOG_GROWTH_TOTAL_SQL = f"""
+WITH cs AS (SELECT url, ts, cf, seq, name, attrs_json FROM {_R}
+            WHERE kind = 'comp_stats'),
+lv AS (
+  SELECT url, ts, cf, seq,
+         CAST(regexp_extract(name, 'LEVEL-(\\d+)', 1) AS INT) AS level,
+         CAST(json_extract_string(attrs_json, '$.size_bytes') AS BIGINT)
+           AS size,
+         CAST(json_extract_string(attrs_json, '$."Num-Files"') AS BIGINT)
+           AS files
+  FROM cs WHERE name LIKE 'LEVEL-%'),
+b AS (SELECT url, arg_min(ts, seq) AS first_ts, arg_max(ts, seq) AS last_ts
+      FROM cs GROUP BY url),
+f AS (SELECT lv.url, cf, level, size AS start_size, files AS start_files
+      FROM lv JOIN b ON lv.url = b.url AND lv.ts = b.first_ts),
+l AS (SELECT lv.url, cf, level, size AS end_size, files AS end_files
+      FROM lv JOIN b ON lv.url = b.url AND lv.ts = b.last_ts),
+g AS (SELECT coalesce(f.url, l.url) AS url, coalesce(f.cf, l.cf) AS cf,
+             start_size, start_files, end_size, end_files
+      FROM f FULL OUTER JOIN l USING (url, cf, level)),
+per_cf AS (
+  SELECT url, cf,
+         max(CASE WHEN end_size IS NULL THEN 1 ELSE 0 END) AS excluded,
+         sum(coalesce(start_size, 0)) AS ssz,
+         sum(coalesce(start_files, 0)) AS sfl,
+         sum(end_size) AS esz, sum(end_files) AS efl
+  FROM g GROUP BY url, cf),
+reg AS (SELECT DISTINCT url, cf FROM {_R} WHERE kind = 'cf_found'
+        AND json_extract_string(attrs_json, '$.auto_generated') = 'False'),
+allc AS (SELECT DISTINCT url, cf FROM
+         (SELECT url, cf FROM reg UNION ALL SELECT url, cf FROM per_cf)),
+n AS (SELECT url, CAST(count(*) AS BIGINT) AS num_cfs FROM allc
+      GROUP BY url),
+tot AS (
+  SELECT url, CAST(count(*) AS BIGINT) AS num_included_cfs,
+         CAST(sum(ssz) AS BIGINT) AS start_size_bytes,
+         CAST(sum(sfl) AS BIGINT) AS start_num_files,
+         CAST(sum(esz) AS BIGINT) AS end_size_bytes,
+         CAST(sum(efl) AS BIGINT) AS end_num_files
+  FROM per_cf WHERE excluded = 0 GROUP BY url)
+SELECT n.url, n.num_cfs,
+       CAST(coalesce(tot.num_included_cfs, 0) AS BIGINT)
+         AS num_included_cfs,
+       start_size_bytes, start_num_files, end_size_bytes, end_num_files
+FROM n JOIN (SELECT DISTINCT url FROM cs) has ON n.url = has.url
+LEFT JOIN tot ON n.url = tot.url
+"""
+
+LOG_BLOCK_CACHE_SQL = f"""
+WITH topt AS (
+  SELECT url, cf, name AS option, msg AS value, seq FROM {_R}
+  WHERE kind = 'option'
+    AND json_extract_string(attrs_json, '$.section') = 'table'),
+p AS (
+  SELECT url, cf,
+    arg_min(CASE WHEN option = 'block_cache' THEN value END, seq)
+      AS block_cache,
+    arg_min(CASE WHEN option = 'block_cache_name' THEN value END, seq)
+      AS cache_name,
+    arg_min(CASE WHEN option = 'block_cache_capacity' THEN value END, seq)
+      AS capacity_s,
+    arg_min(CASE WHEN option = 'block_cache_num_shard_bits'
+            THEN value END, seq) AS shard_bits_s
+  FROM topt GROUP BY url, cf),
+member AS (
+  SELECT url, cf,
+         cache_name || '@' || regexp_extract(block_cache,
+                                             '(0x[0-9A-Fa-f]+)', 1)
+           AS cache_id,
+         CAST(capacity_s AS BIGINT) AS capacity,
+         CAST(shard_bits_s AS INT) AS shard_bits
+  FROM p
+  WHERE block_cache IS NOT NULL
+    AND lower(block_cache) NOT IN
+        ('none', '(nil)', 'nil', 'nullptr', 'null', '0x0')
+    AND regexp_extract(block_cache, '(0x[0-9A-Fa-f]+)', 1) <> ''
+    AND cache_name IS NOT NULL AND capacity_s IS NOT NULL
+    AND shard_bits_s IS NOT NULL),
+ev AS (
+  SELECT url, seq, cf, event_type,
+    CAST(json_extract_string(payload_json, '$.file_number') AS BIGINT)
+      AS file_number,
+    CAST(json_extract_string(payload_json,
+         '$.table_properties.index_size') AS BIGINT) AS index_size,
+    CAST(json_extract_string(payload_json,
+         '$.table_properties.filter_size') AS BIGINT) AS filter_size
+  FROM {_R} WHERE kind = 'event'
+    AND event_type IN ('table_file_creation', 'table_file_deletion')),
+filesg AS (
+  SELECT url, file_number,
+    arg_min(CASE WHEN event_type = 'table_file_creation' THEN cf END,
+            CASE WHEN event_type = 'table_file_creation' THEN seq END)
+      AS cf,
+    arg_min(CASE WHEN event_type = 'table_file_creation'
+            THEN index_size END,
+            CASE WHEN event_type = 'table_file_creation' THEN seq END)
+      AS index_size,
+    arg_min(CASE WHEN event_type = 'table_file_creation'
+            THEN filter_size END,
+            CASE WHEN event_type = 'table_file_creation' THEN seq END)
+      AS filter_size,
+    max(CASE WHEN event_type = 'table_file_deletion' THEN 1 ELSE 0 END)
+      AS deleted,
+    bool_or(event_type = 'table_file_creation') AS created
+  FROM ev GROUP BY url, file_number),
+files AS (
+  SELECT url, cf, CASE WHEN deleted = 1 THEN 'Deleted' ELSE 'Alive' END
+           AS status, index_size, filter_size
+  FROM filesg WHERE created),
+percf AS (
+  SELECT f.url, m.cache_id, f.status, f.index_size, f.filter_size
+  FROM files f JOIN member m ON f.url = m.url AND f.cf = m.cf),
+stats AS (
+  SELECT url, cache_id, count(*) AS n_files,
+    CAST(sum(CASE WHEN status = 'Alive' AND index_size > 0
+             THEN index_size END) AS BIGINT) AS index_total_live,
+    CAST(round(CASE WHEN count(CASE WHEN index_size > 0 THEN 1 END) > 0
+               THEN sum(CASE WHEN index_size > 0 THEN index_size END) * 1.0
+                    / count(CASE WHEN index_size > 0 THEN 1 END)
+               ELSE 0.0 END, 6) AS DOUBLE) AS index_avg,
+    max(CASE WHEN index_size > 0 THEN index_size END) AS index_max,
+    CAST(sum(CASE WHEN status = 'Alive' AND filter_size > 0
+             THEN filter_size END) AS BIGINT) AS filter_total_live,
+    CAST(round(CASE WHEN count(CASE WHEN filter_size > 0 THEN 1 END) > 0
+               THEN sum(CASE WHEN filter_size > 0
+                        THEN filter_size END) * 1.0
+                    / count(CASE WHEN filter_size > 0 THEN 1 END)
+               ELSE 0.0 END, 6) AS DOUBLE) AS filter_avg,
+    max(CASE WHEN filter_size > 0 THEN filter_size END) AS filter_max
+  FROM percf GROUP BY url, cache_id),
+caches AS (
+  SELECT url, cache_id, min(capacity) AS capacity,
+         min(shard_bits) AS shard_bits, count(*) AS n_member_cfs
+  FROM member GROUP BY url, cache_id)
+SELECT c.url, c.cache_id, c.capacity,
+       CAST(power(2, c.shard_bits) AS BIGINT) AS num_shards,
+       CAST(floor((c.capacity + CAST(power(2, c.shard_bits) AS BIGINT) - 1)
+                  / CAST(power(2, c.shard_bits) AS BIGINT)) AS BIGINT)
+         AS shard_size,
+       CAST(c.n_member_cfs AS BIGINT) AS n_member_cfs,
+       CAST(s.n_files AS BIGINT) AS n_files,
+       s.index_total_live, s.index_avg, s.index_max,
+       s.filter_total_live, s.filter_avg, s.filter_max
+FROM caches c LEFT JOIN stats s ON c.url = s.url
+  AND c.cache_id = s.cache_id
+"""
+
+
 # sanitized option-value comparison (engine/options_diff.py
 # sanitize_value_col / values_differ_col) as SQL expression builders
 _PTR_RE = r"(0x[\dA-Fa-f]+)"
@@ -1024,6 +1279,10 @@ ORACLE_SQL = {
     "log_options_vs_baseline": LOG_OPTIONS_BASELINE_SQL,
     "log_options_common_unique": LOG_OPTIONS_COMMON_SQL,
     "log_parsed_summaries": LOG_PARSED_SUMMARIES_SQL,
+    "log_seek_stats": LOG_SEEK_STATS_SQL,
+    "log_filter_effectiveness": LOG_FILTER_EFFECTIVENESS_SQL,
+    "log_growth_total": LOG_GROWTH_TOTAL_SQL,
+    "log_block_cache": LOG_BLOCK_CACHE_SQL,
 }
 
 QUERIES = {
@@ -1064,4 +1323,8 @@ QUERIES = {
     "log_options_common_unique": log_options_common_unique,
     "log_parsed_summaries": log_parsed_summaries,
     "log_parsed_json_report": log_parsed_json_report,
+    "log_seek_stats": log_seek_stats,
+    "log_filter_effectiveness": log_filter_effectiveness,
+    "log_growth_total": log_growth_total,
+    "log_block_cache": log_block_cache,
 }

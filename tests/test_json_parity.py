@@ -19,7 +19,10 @@ from log_parser_spark.parsing import parse_document
 
 # sample_stats is excluded: the reference's own get_json raises an
 # AssertionError on it (same family as its files-CSV assert).
-CORPUS_IDS = ["sample", "rolled", "bad"] + sorted(
+# synthetic_stats is our generated stats-rich log (corpus.py) exercising
+# the seek/bloom/growth/block-cache surfaces the shipped fixtures leave
+# empty — the reference parses it too, so it's a full parity member.
+CORPUS_IDS = ["sample", "rolled", "bad", "synthetic_stats"] + sorted(
     _os.path.basename(p) for p in
     _glob.glob("/root/reference/baseline_logs/LOG-*"))
 

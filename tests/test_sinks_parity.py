@@ -16,9 +16,9 @@ from log_parser_spark.engine.schema import PAGES_SCHEMA
 import glob as _glob
 import os as _os
 
-CORPUS_IDS = ["sample", "sample_stats", "rolled"] + sorted(
-    _os.path.basename(p) for p in
-    _glob.glob("/root/reference/baseline_logs/LOG-*"))
+CORPUS_IDS = ["sample", "sample_stats", "rolled", "synthetic_stats"] + \
+    sorted(_os.path.basename(p) for p in
+           _glob.glob("/root/reference/baseline_logs/LOG-*"))
 
 
 @pytest.fixture(scope="module")
