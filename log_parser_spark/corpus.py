@@ -164,6 +164,50 @@ def synthetic_stats_log() -> str:
         f'"file_number": 10}}',
     ]
 
+    def flush_started(sec, job, entries, size):
+        return (f'{t(sec)} EVENT_LOG_v1 {{"time_micros": '
+                f'{1675245600000000 + sec * 1000000}, "job": {job}, '
+                f'"event": "flush_started", "num_memtables": 1, '
+                f'"num_entries": {entries}, "num_deletes": 10, '
+                f'"total_data_size": {size}, "memory_usage": {size}, '
+                f'"flush_reason": "Write Buffer Full"}}')
+
+    def flush_finished(sec, job):
+        return (f'{t(sec)} EVENT_LOG_v1 {{"time_micros": '
+                f'{1675245600000000 + sec * 1000000}, "job": {job}, '
+                f'"event": "flush_finished", "output_compression": '
+                f'"NoCompression", "lsm_state": [1, 0, 0, 0, 0, 0, 0], '
+                f'"immutable_memtables": 0}}')
+
+    def preamble(sec, cf, job, wal):
+        return (f"{t(sec, 500)} [/flush_job.cc:335] [{cf}] [JOB {job}] "
+                f"Flushing memtable with next log file: {wal}")
+
+    # flush flows exercising the reference's incremental matching
+    # (events.py:910-931): a finish binds to the most recent seen start
+    # of its job, later finishes overwrite
+    lines += [
+        # job 7 (default): two starts then two finishes ->
+        # (s1, None), (s2, f2)
+        preamble(10, "default", 7, 5), flush_started(10, 7, 1000, 3_000_000),
+        preamble(11, "default", 7, 6), flush_started(11, 7, 2000, 12_000_000),
+        flush_finished(12, 7), flush_finished(13, 7),
+        # job 8 (cfa): one start, two finishes -> (s3, f4)
+        preamble(14, "cfa", 8, 7), flush_started(14, 8, 3000, 40_000_000),
+        flush_finished(15, 8), flush_finished(16, 8),
+        # job 9 (default): well-formed pair
+        preamble(17, "default", 9, 8), flush_started(17, 9, 4000, 80_000_000),
+        flush_finished(18, 9),
+        # tie: two starts with the IDENTICAL timestamp in different cfs,
+        # with the later-registered cf (cfa) appearing FIRST in document
+        # order — the reference CSV breaks the tie by cf-registry order
+        # (csv_outputter.get_flow_events_csv builds per-cf lists in
+        # registry order, then stable-sorts on start time)
+        preamble(19, "cfa", 11, 9), flush_started(19, 11, 500, 1_000_000),
+        preamble(19, "default", 12, 10),
+        flush_started(19, 12, 600, 1_500_000),
+    ]
+
     def stats_dump(sec, cfs):
         body = [
             f"{t(sec)} [/db_impl/db_impl.cc:1007] ------- DUMPING STATS "

@@ -160,7 +160,12 @@ def render_flushes_csv(rows: list[dict]) -> str | None:
     """csv_outputter.py:223-266 (get_flow_events_csv for Flush)."""
     if not rows:
         return None
-    rows = sorted(rows, key=lambda r: (r["start_ts"], r["start_seq"]))
+    # ties on start time break by cf-registry order, then document
+    # order — the reference stable-sorts per-cf lists concatenated in
+    # registry order (csv_outputter.py:223-232, events.py:982-995)
+    rows = sorted(rows, key=lambda r: (r["start_ts"],
+                                       r.get("cf_rank") or 0,
+                                       r["start_seq"]))
     f, w = _writer()
     header = None
     for r in rows:

@@ -30,36 +30,52 @@ def job_cf_map(records: DataFrame) -> DataFrame:
 
 
 def flow_pairs(events: DataFrame, flow: str) -> DataFrame:
-    """J3: start/finish pairing per (url, job_id, cf).
+    """J3: start/finish pairing per (url, job_id, cf), with the
+    reference's exact incremental-matching semantics (events.py:910-931
+    + 435-460): each finish binds to the MOST RECENT already-seen start
+    of the same (job, cf) — even one that was already matched, in which
+    case the earlier match is overwritten — so a start ends up paired
+    with the LAST finish that bound to it, and superseded starts stay
+    unmatched.
 
-    The reference matches a finish to the most recent unmatched start at
-    insertion time (events.py:912-931); in well-formed logs each job has
-    exactly one start + one finish, realized here as rank-equality over
-    document order (an as-of pattern with row_number).
-    """
+    Declarative shape: a running 'last start seq' window assigns every
+    finish its matched start (as-of), then max_by(finish, seq) per start
+    keeps the overwrite winner.  One shuffle on (url, job_id, cf); for
+    well-formed logs (one start + one finish per job) this degenerates
+    to the obvious 1:1 pairing."""
     start_t, finish_t, _ = next(m for m in MATCHING_EVENTS if m[2] == flow)
 
-    w = Window.partitionBy("url", "job_id", "cf").orderBy("seq")
-    starts = (events.filter(F.col("event_type") == start_t)
-              .withColumn("rk", F.row_number().over(w)))
-    finishes = (events.filter(F.col("event_type") == finish_t)
-                .withColumn("rk", F.row_number().over(w)))
+    flow_events = events.filter(
+        F.col("event_type").isin(start_t, finish_t))
+    w = (Window.partitionBy("url", "job_id", "cf").orderBy("seq")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tagged = flow_events.withColumn(
+        "_start_seq",
+        F.last(F.when(F.col("event_type") == start_t, F.col("seq")),
+               ignorenulls=True).over(w))
 
-    s = starts.select(
-        "url", "job_id", "cf", "rk",
+    s = tagged.filter(F.col("event_type") == start_t).select(
+        "url", "job_id", "cf",
         F.col("ts").alias("start_ts"), F.col("seq").alias("start_seq"),
         F.col("time_micros").alias("start_micros"),
         F.col("payload_json").alias("start_payload"),
         F.col("wal_id").alias("wal_id"),
         F.col("p").alias("start_p"))
-    f = finishes.select(
-        "url", "job_id", "cf", "rk",
-        F.col("ts").alias("finish_ts"), F.col("seq").alias("finish_seq"),
-        F.col("time_micros").alias("finish_micros"),
-        F.col("payload_json").alias("finish_payload"),
-        F.col("p").alias("finish_p"))
+    f = (tagged.filter((F.col("event_type") == finish_t)
+                       & F.col("_start_seq").isNotNull())
+         .groupBy("url", "job_id", "cf",
+                  F.col("_start_seq").alias("start_seq"))
+         .agg(F.max_by(F.struct(
+             F.col("ts").alias("finish_ts"),
+             F.col("seq").alias("finish_seq"),
+             F.col("time_micros").alias("finish_micros"),
+             F.col("payload_json").alias("finish_payload"),
+             F.col("p").alias("finish_p")), "seq").alias("fin")))
+    f = f.select("url", "job_id", "cf", "start_seq",
+                 "fin.finish_ts", "fin.finish_seq", "fin.finish_micros",
+                 "fin.finish_payload", "fin.finish_p")
 
-    paired = s.join(f, ["url", "job_id", "cf", "rk"], "left")
+    paired = s.join(f, ["url", "job_id", "cf", "start_seq"], "left")
     return paired.withColumn(
         "duration_ms",
         ((F.col("finish_micros") - F.col("start_micros")) / 1000)

@@ -592,18 +592,19 @@ def calc_files_filter_stats(view: View, cfs_names):
 
 def flush_flow_pairs(view: View, cf):
     """events_mngr.get_cf_flow_events(FLUSH, cf): (start, finish|None)
-    pairs; a finish matches the most recent unmatched same-job start
-    (events.py:910-931)."""
-    starts = [dict(e) for e in view.events_of_type(cf, "flush_started")]
+    pairs.  A finish binds to the MOST RECENT already-seen start of the
+    same (job, cf) even if that start was already matched (the earlier
+    match is overwritten — events.py:910-931 + 435-460), so each start
+    keeps the LAST finish that bound to it."""
+    starts = view.events_of_type(cf, "flush_started")
     finishes = view.events_of_type(cf, "flush_finished")
-    for s in starts:
-        s["_match"] = None
+    match = {}
     for f in finishes:
-        for s in reversed([s for s in starts if s["seq"] < f["seq"]]):
-            if s["_match"] is None and s["job_id"] == f["job_id"]:
-                s["_match"] = f
-                break
-    return [(s, s["_match"]) for s in starts]
+        cands = [s for s in starts
+                 if s["seq"] < f["seq"] and s["job_id"] == f["job_id"]]
+        if cands:
+            match[cands[-1]["seq"]] = f  # later finishes overwrite
+    return [(s, match.get(s["seq"])) for s in starts]
 
 
 # ------------------------------------------------------------- sections

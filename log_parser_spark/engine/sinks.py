@@ -66,13 +66,19 @@ def compaction_stats_sink(comp_stats: DataFrame) -> DataFrame:
 
 def flushes_sink(events: DataFrame, cf_registry: DataFrame) -> DataFrame:
     """S7: flush flow pairs for non-auto-generated cfs
-    (csv_outputter.py:223-266,427-428; cfs chosen at log_parser.py:231)."""
+    (csv_outputter.py:223-266,427-428; cfs chosen at log_parser.py:231).
+
+    cf_rank (the cf's discovery seq) rides along because the reference
+    CSV breaks start-time ties by cf-REGISTRY order: it concatenates
+    per-cf pair lists in registry order and stable-sorts on start time
+    (get_flow_events_csv + get_all_flow_events)."""
     cfs = (cf_registry.filter(~F.col("auto_generated"))
-           .select("url", "cf").distinct())
+           .groupBy("url", "cf").agg(F.min("seq").alias("cf_rank")))
     pairs = joins.flow_pairs(events, "Flush")
-    out = pairs.join(cfs, ["url", "cf"], "left_semi")
+    out = pairs.join(cfs, ["url", "cf"], "inner")
     return out.select(
-        "url", "cf", "job_id", "start_ts", "finish_ts", "start_seq",
+        "url", "cf", "cf_rank", "job_id", "start_ts", "finish_ts",
+        "start_seq",
         "duration_ms", "wal_id",
         F.col("start_p.flush_reason").alias("flush_reason"),
         F.col("start_p.num_entries").alias("num_entries"),

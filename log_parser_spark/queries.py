@@ -710,33 +710,45 @@ SELECT url, name, arg_max(value, seq) AS last_value
 FROM {_R} WHERE kind = 'counter' GROUP BY url, name
 """
 
-# rank-equality start/finish pairing (flow_pairs, engine/joins.py) as a
-# window + equi-join; duration truncates toward zero like Spark's
-# double->long cast
+# start/finish pairing (flow_pairs, engine/joins.py): each finish binds
+# to the most recent already-seen start of the same (job, cf), later
+# finishes overwrite — realized as a running last-start window + a
+# last-finish-per-start aggregate; duration truncates toward zero like
+# Spark's double->long cast
 _FLUSH_PAIRS_CTE = f"""
-ev AS (SELECT url, seq, ts, cf, job_id, event_type, time_micros,
+fe AS (SELECT url, seq, ts, cf, job_id, event_type, time_micros,
               payload_json
-       FROM {_R} WHERE kind = 'event'),
-fs AS (SELECT *, row_number() OVER
-         (PARTITION BY url, job_id, cf ORDER BY seq) AS rk
-       FROM ev WHERE event_type = 'flush_started'),
-ff AS (SELECT *, row_number() OVER
-         (PARTITION BY url, job_id, cf ORDER BY seq) AS rk
-       FROM ev WHERE event_type = 'flush_finished'),
+       FROM {_R} WHERE kind = 'event'
+         AND event_type IN ('flush_started', 'flush_finished')),
+tagged AS (
+  SELECT *, last_value(CASE WHEN event_type = 'flush_started'
+                            THEN seq END IGNORE NULLS) OVER
+            (PARTITION BY url, job_id, cf ORDER BY seq
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS matched_start_seq
+  FROM fe),
+fin AS (
+  SELECT url, job_id, cf, matched_start_seq,
+         arg_max(ts, seq) AS finish_ts,
+         arg_max(time_micros, seq) AS finish_micros
+  FROM tagged
+  WHERE event_type = 'flush_finished' AND matched_start_seq IS NOT NULL
+  GROUP BY url, job_id, cf, matched_start_seq),
 pairs AS (
-  SELECT fs.url, fs.cf, fs.job_id,
-         fs.ts AS start_ts, ff.ts AS finish_ts,
-         CAST(trunc((ff.time_micros - fs.time_micros) / 1000.0) AS BIGINT)
+  SELECT s.url, s.cf, s.job_id,
+         s.ts AS start_ts, f.finish_ts,
+         CAST(trunc((f.finish_micros - s.time_micros) / 1000.0) AS BIGINT)
            AS duration_ms,
-         CAST(json_extract_string(fs.payload_json, '$.total_data_size')
+         CAST(json_extract_string(s.payload_json, '$.total_data_size')
               AS BIGINT) AS total_data_size,
-         CAST(json_extract_string(fs.payload_json, '$.num_memtables')
+         CAST(json_extract_string(s.payload_json, '$.num_memtables')
               AS BIGINT) AS num_memtables,
-         json_extract_string(fs.payload_json, '$.flush_reason')
+         json_extract_string(s.payload_json, '$.flush_reason')
            AS flush_reason
-  FROM fs LEFT JOIN ff
-    ON fs.url = ff.url AND fs.job_id = ff.job_id AND fs.cf = ff.cf
-       AND fs.rk = ff.rk)
+  FROM (SELECT * FROM tagged WHERE event_type = 'flush_started') s
+  LEFT JOIN fin f
+    ON s.url = f.url AND s.job_id = f.job_id AND s.cf = f.cf
+       AND s.seq = f.matched_start_seq)
 """
 
 LOG_FLUSH_PAIRS_SQL = f"""
