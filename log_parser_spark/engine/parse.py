@@ -16,10 +16,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from log_parser_spark.engine.schema import RECORD_FIELDS, RECORDS_SCHEMA
-from log_parser_spark.parsing.document import parse_document
+from log_parser_spark.parsing.document import (DocumentParser,
+                                               parse_document,
+                                               parse_document_stream)
 
 # Bound the size of each output Arrow batch (records per yielded frame).
 _OUT_CHUNK = 20_000
+
+
+def _doc_record_batches(text: str):
+    """Record batches for one document.  Oversized documents go through
+    the streaming parser (lazy entry segmentation + incremental record
+    flushes) so a single multi-hundred-MB document can't OOM a worker;
+    normal documents use the faster eager path."""
+    if len(text) > DocumentParser.LAZY_DOC_BYTES:
+        yield from parse_document_stream(text, flush_every=_OUT_CHUNK * 5)
+    else:
+        yield parse_document(text)
 
 
 # Record dicts are created by parsing.document._rec with a fixed literal
@@ -41,13 +54,14 @@ def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
     for pdf in batches:
         for url, text in zip(pdf["url"].values, pdf["text"].values):
-            recs = parse_document(text if isinstance(text, str) else "")
-            for r in recs:
-                r["url"] = url
-            buf.extend(recs)
-            while len(buf) >= _OUT_CHUNK:
-                yield flush(buf[:_OUT_CHUNK])
-                buf = buf[_OUT_CHUNK:]
+            for recs in _doc_record_batches(
+                    text if isinstance(text, str) else ""):
+                for r in recs:
+                    r["url"] = url
+                buf.extend(recs)
+                while len(buf) >= _OUT_CHUNK:
+                    yield flush(buf[:_OUT_CHUNK])
+                    buf = buf[_OUT_CHUNK:]
     if buf:
         yield flush(buf)
 
@@ -106,13 +120,14 @@ def _parse_split_batches(batches) -> "Iterator[pd.DataFrame]":
             urls = tbl.column("url").to_pylist()
             texts = tbl.column("text").to_pylist()
             for url, txt in zip(urls, texts):
-                recs = parse_document(txt if isinstance(txt, str) else "")
-                for r in recs:
-                    r["url"] = url
-                buf.extend(recs)
-                while len(buf) >= _OUT_CHUNK:
-                    yield flush(buf[:_OUT_CHUNK])
-                    buf = buf[_OUT_CHUNK:]
+                for recs in _doc_record_batches(
+                        txt if isinstance(txt, str) else ""):
+                    for r in recs:
+                        r["url"] = url
+                    buf.extend(recs)
+                    while len(buf) >= _OUT_CHUNK:
+                        yield flush(buf[:_OUT_CHUNK])
+                        buf = buf[_OUT_CHUNK:]
     if buf:
         yield flush(buf)
 

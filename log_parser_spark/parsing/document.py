@@ -19,7 +19,9 @@ from __future__ import annotations
 import json
 
 from log_parser_spark import grammar as g
-from log_parser_spark.parsing.entries import Entry, is_entry_start, segment_lines
+from log_parser_spark.parsing.entries import (Entry, is_entry_start,
+                                              segment_lines,
+                                              segment_text_lazy)
 
 NO_CF = g.NO_CF
 
@@ -211,50 +213,102 @@ class DocumentParser:
             },
         )
 
-    # A document must fit one python worker (the reference loads whole
-    # files too, log_parser.py:68-74); beyond this cap we quarantine
-    # instead of risking worker OOM at 100 TB scale (SURVEY §7.3.6).
-    MAX_DOC_BYTES = 256 * 1024 * 1024
+    # Hard cap ~ the Arrow/parquet utf-8 CELL ceiling: a document that
+    # can't even be one table cell can't reach the parser at all.  (The
+    # reference loads whole files with no cap, log_parser.py:68-74.)
+    MAX_DOC_BYTES = 1_900_000_000
+    # Beyond this, entry segmentation goes lazy (offsets over the raw
+    # text instead of a lines list + Entry objects) so peak parse memory
+    # stays ~1x the text; below it the eager path is faster.
+    LAZY_DOC_BYTES = 64 * 1024 * 1024
 
     # -- top-level driver -------------------------------------------------
-    def run(self) -> list[dict]:
+    def _prepare(self) -> dict | None:
+        """Segment + emit the job->cf map; returns a quarantine record
+        when the document can't be parsed at all."""
         if len(self.text) > self.MAX_DOC_BYTES:
-            return [_rec("quarantine",
-                         attrs={"reason": "oversized_document",
-                                "n_bytes": str(len(self.text))})]
-        lines = self.text.split("\n")
-        # readlines() keeps trailing newline off the final element the same
-        # way split does for our corpus embedding (text has no trailing \n
-        # ambiguity: a trailing empty string is not an entry start).
-        if lines and lines[-1] == "":
-            lines = lines[:-1]
-        if not lines:
-            return [_rec("quarantine", attrs={"reason": "empty_log"})]
-        if not is_entry_start(lines[0]):
-            return [_rec("quarantine", attrs={"reason": "invalid_log"})]
+            return _rec("quarantine",
+                        attrs={"reason": "oversized_document",
+                               "n_bytes": str(len(self.text))})
+        first_nl = self.text.find("\n")
+        first_line = self.text[:first_nl if first_nl != -1 else None]
+        if not self.text:
+            return _rec("quarantine", attrs={"reason": "empty_log"})
+        if not is_entry_start(first_line):
+            return _rec("quarantine", attrs={"reason": "invalid_log"})
 
-        self.entries, job_map = segment_lines(lines)
-        if not self.entries:
-            return [_rec("quarantine", attrs={"reason": "invalid_log"})]
+        if len(self.text) > self.LAZY_DOC_BYTES:
+            self.entries, job_map = segment_text_lazy(self.text)
+        else:
+            lines = self.text.split("\n")
+            if lines and lines[-1] == "":
+                lines = lines[:-1]
+            self.entries, job_map = segment_lines(lines)
+        if not len(self.entries):
+            return _rec("quarantine", attrs={"reason": "invalid_log"})
 
         for job_id, cf in job_map.items():
             self.emit("job_cf", name=str(job_id), job_id=job_id, cf=cf)
+        return None
 
-        try:
-            if not self.parse_metadata():
-                return [_rec("quarantine", attrs={"reason": "invalid_metadata"})]
-            self.parse_rest()
-        except DocAbort as e:
-            return [_rec("quarantine", attrs={"reason": f"parse_abort:{e}"})]
-
+    def _flush_comp_entries(self):
         for (ts, cf_name), rows in self.comp_entries.items():
             for key, row, line_idx in rows:
                 # payload_json preserves column order (Spark maps do not)
                 self.emit("comp_stats", ts=ts, cf=cf_name, name=key,
                           line_idx=line_idx, attrs=row,
                           payload_json=json.dumps(row))
+        self.comp_entries = {}
 
+    def run(self) -> list[dict]:
+        q = self._prepare()
+        if q is not None:
+            return [q]
+        try:
+            if not self.parse_metadata():
+                return [_rec("quarantine",
+                             attrs={"reason": "invalid_metadata"})]
+            self.parse_rest()
+        except DocAbort as e:
+            return [_rec("quarantine", attrs={"reason": f"parse_abort:{e}"})]
+
+        self._flush_comp_entries()
         return self.records
+
+    def run_stream(self, flush_every: int = 200_000):
+        """Generator variant of run(): yields record batches every
+        ``flush_every`` records so an oversized document's output never
+        accumulates in one list (the mapInPandas wrapper forwards each
+        batch as its own Arrow frame).  Record content and order are
+        identical to run()."""
+        q = self._prepare()
+        if q is not None:
+            yield [q]
+            return
+        try:
+            if not self.parse_metadata():
+                yield [_rec("quarantine", attrs={"reason":
+                                                 "invalid_metadata"})]
+                return
+            while self.entry_idx < len(self.entries):
+                self._parse_step()
+                if len(self.records) >= flush_every:
+                    out, self.records = self.records, []
+                    yield out
+        except DocAbort as e:
+            # Already-yielded batches can't be retracted from a stream;
+            # run() would discard them.  Deviation (oversized docs only):
+            # keep the partial output and mark the quarantine record, so
+            # downstream can drop the url's records if it must.
+            self.records = []
+            yield [_rec("quarantine",
+                        attrs={"reason": f"parse_abort:{e}",
+                               "partial_output": "True"})]
+            return
+
+        self._flush_comp_entries()
+        if self.records:
+            yield self.records
 
     # -- metadata (log_file.py:36-156,281-293) ----------------------------
     def parse_metadata(self) -> bool:
@@ -303,34 +357,38 @@ class DocumentParser:
     # -- dispatch loop (log_file.py:458-502) -------------------------------
     def parse_rest(self):
         while self.entry_idx < len(self.entries):
-            start_idx = self.entry_idx
-            try:
-                if self.try_cf_lifetime():
-                    continue
-                if self.try_db_wide_options():
-                    continue
-                if self.try_cf_options():
-                    continue
-                if self.try_warning():
-                    continue
-                if self.try_event():
-                    continue
-                if self.try_stats():
-                    continue
-                if self.try_counters():
-                    continue
-                if self.try_mem_rep():
-                    continue
-                if not self.try_monitors():
-                    e = self.cur()
-                    self.emit("unparsed", e, msg=e.get_msg())
+            self._parse_step()
+
+    def _parse_step(self):
+        """Dispatch one entry (or one recognized entry group)."""
+        start_idx = self.entry_idx
+        try:
+            if self.try_cf_lifetime():
+                return
+            if self.try_db_wide_options():
+                return
+            if self.try_cf_options():
+                return
+            if self.try_warning():
+                return
+            if self.try_event():
+                return
+            if self.try_stats():
+                return
+            if self.try_counters():
+                return
+            if self.try_mem_rep():
+                return
+            if not self.try_monitors():
+                e = self.cur()
+                self.emit("unparsed", e, msg=e.get_msg())
+            self.entry_idx += 1
+        except DocAbort:
+            raise
+        except Exception:
+            # best-effort recovery (log_file.py:493-498)
+            if self.entry_idx == start_idx:
                 self.entry_idx += 1
-            except DocAbort:
-                raise
-            except Exception:
-                # best-effort recovery (log_file.py:493-498)
-                if self.entry_idx == start_idx:
-                    self.entry_idx += 1
 
     def cur(self) -> Entry:
         return self.entries[self.entry_idx]
@@ -1056,3 +1114,10 @@ def _parse_bytes_with_unit(s: str) -> int:
 def parse_document(text: str) -> list[dict]:
     """Parse one whole LOG document into a list of flat record dicts."""
     return DocumentParser(text).run()
+
+
+def parse_document_stream(text: str, flush_every: int = 200_000):
+    """Generator of record batches for one document (oversized-document
+    path: lazy segmentation + incremental record flushes keep peak
+    memory ~1x the text)."""
+    return DocumentParser(text).run_stream(flush_every)

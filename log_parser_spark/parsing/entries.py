@@ -101,6 +101,84 @@ def parse_start_line(line_idx: int, line: str) -> Entry | None:
     return entry
 
 
+class LazyEntries:
+    """Sequence of entries over the raw text WITHOUT materializing every
+    line/Entry: stores only entry-start (line_idx, char offset) pairs
+    and rebuilds an Entry from its text slice on demand, with a small
+    FIFO cache (the parser scans forward with bounded lookahead).
+
+    Memory for an oversized document drops from ~3-4x the text (lines
+    list + Entry objects) to the text itself plus ~3 ints per entry —
+    this is what lets the parser accept multi-hundred-MB documents that
+    the eager path would OOM a worker on.
+    """
+
+    _CACHE_CAP = 64
+
+    def __init__(self, text, all_start_offsets, valid_starts):
+        self._text = text
+        self._all = all_start_offsets        # offsets of EVERY start line
+        self._valid = valid_starts           # (all_idx, line_idx, offset)
+        self._cache: dict[int, Entry] = {}
+
+    def __len__(self):
+        return len(self._valid)
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return [self[j] for j in range(*i.indices(len(self)))]
+        if i < 0:
+            i += len(self._valid)
+        if not 0 <= i < len(self._valid):
+            raise IndexError(i)
+        hit = self._cache.get(i)
+        if hit is not None:
+            return hit
+        all_idx, line_idx, off = self._valid[i]
+        end = self._all[all_idx + 1] if all_idx + 1 < len(self._all) \
+            else len(self._text)
+        lines = self._text[off:end].split("\n")
+        if lines and lines[-1] == "":
+            lines.pop()
+        entry = parse_start_line(line_idx, lines[0])
+        entry.msg_lines.extend(lines[1:])
+        if len(self._cache) >= self._CACHE_CAP:
+            self._cache.pop(next(iter(self._cache)))
+        self._cache[i] = entry
+        return entry
+
+
+def segment_text_lazy(text: str) -> tuple[LazyEntries, dict[int, str]]:
+    """Entry segmentation identical to segment_lines, but producing a
+    LazyEntries over the raw text.  Continuation lines after a MALFORMED
+    start line are dropped exactly like the eager path: a valid entry's
+    slice ends at the next start line (valid or not)."""
+    all_starts: list[int] = []
+    valid: list[tuple[int, int, int]] = []
+    job_map: dict[int, str] = {}
+
+    n = len(text)
+    pos = 0
+    line_idx = 0
+    while pos < n:
+        nl = text.find("\n", pos)
+        end = n if nl == -1 else nl
+        line = text[pos:end]
+        if is_entry_start(line):
+            all_starts.append(pos)
+            e = parse_start_line(line_idx, line)
+            if e is not None:
+                valid.append((len(all_starts) - 1, line_idx, pos))
+                if e.job_id is not None and e.cf_name:
+                    job_map.setdefault(e.job_id, e.cf_name)
+        line_idx += 1
+        if nl == -1:
+            break
+        pos = nl + 1
+
+    return LazyEntries(text, all_starts, valid), job_map
+
+
 def segment_lines(lines: list[str]) -> tuple[list[Entry], dict[int, str]]:
     """lines -> (entries, job_id -> cf_name first-wins map).
 
