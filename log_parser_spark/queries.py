@@ -509,6 +509,27 @@ def embedding_ann_ivf(spark, sf_dir):
     return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+def embedding_cosine_dedup(spark, sf_dir):
+    """Near-dup pairs by embedding cosine via hyperplane-LSH buckets
+    (rows-only: candidate generation is approximate by design, so there
+    is no exact SQL equivalent; bucket partitioning + within-bucket
+    cosine exactness are covered by unit tests).
+
+    The synthetic embeddings table has no natural near-dups (random
+    vectors are near-orthogonal), so the query plants deterministic
+    perturbed copies of the first 25 vectors — the op must pair each
+    original with its perturbation."""
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 25).select("vec_id", "embedding")
+    pert = base.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding",
+                    lambda x: (x.cast("double") * 1.001 + 0.0005)
+                    .cast("float")).alias("embedding"))
+    corpus = base.unionByName(pert)
+    return dedup.embedding_cosine_dedup(corpus, threshold=0.99)
+
+
 # --------------------------------------------------- log pipeline queries
 
 _N_LOG_PAGES = 48
@@ -1321,6 +1342,7 @@ QUERIES = {
     "minhash_pairs": minhash_pairs,
     "simhash_docs": simhash_docs,
     "embedding_ann_ivf": embedding_ann_ivf,
+    "embedding_cosine_dedup": embedding_cosine_dedup,
     "log_route_counts": log_route_counts,
     "log_event_histogram": log_event_histogram,
     "log_counters_last": log_counters_last,
