@@ -104,15 +104,19 @@ def minhash_lsh_pairs(df: DataFrame, key: str = "doc_id",
     buckets = (buckets.withColumn("_bsz", F.count(F.lit(1)).over(wb))
                .filter(F.col("_bsz") <= max_bucket_size).drop("_bsz"))
 
-    a = buckets.select(F.col(key).alias("a"), F.col("sig").alias("sig_a"),
-                       "bb")
-    b = buckets.select(F.col(key).alias("b"), F.col("sig").alias("sig_b"),
-                       "bb")
-    pairs = (a.join(b, ["bb"])
-             .filter(F.col("a") < F.col("b"))
+    # true self-join (both sides the IDENTICAL plan, renamed only after
+    # the join) so Spark's ReuseExchange kicks in — otherwise the whole
+    # shingle->minhash->band pipeline is computed twice
+    x, y = buckets.alias("x"), buckets.alias("y")
+    pairs = (x.join(y, F.col("x.bb") == F.col("y.bb"))
+             .filter(F.col(f"x.{key}") < F.col(f"y.{key}"))
+             .select(F.col(f"x.{key}").alias("a"),
+                     F.col(f"y.{key}").alias("b"),
+                     F.col("x.sig").alias("sig_a"),
+                     F.col("y.sig").alias("sig_b"))
              .dropDuplicates(["a", "b"]))
     match_frac = (F.size(F.filter(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.zip_with("sig_a", "sig_b", lambda x_, y_: (x_ == y_).cast("int")),
         lambda v: v == 1)) / F.lit(num_perm)).cast("double")
     lsh_pairs = pairs.select("a", "b",
                              F.round(match_frac, 4).alias("est_jaccard"))
