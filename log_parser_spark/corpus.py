@@ -308,6 +308,17 @@ def synthetic_stats_log() -> str:
                      ("Int", "0/0", "0.00 KB", "0.0")]),
     ])
     lines += statistics_dump(95, 6)
+    lines.append(
+        f"{t(98)} ** Memory Reporting **\n"
+        "Arena Stats:\n"
+        "Total: 26M\n"
+        "ArenaWrappedDBIter: 0\n"
+        "HashSpdb: 26M\n"
+        "CF Stats:\n"
+        "Total: 30M\n"
+        "[default]: 20M\n"
+        "[cfa]: 10M\n"
+        "MiscUsage: 5M")
     lines.append(f"{t(100)} [/db_impl/db_impl.cc:500] Shutdown: "
                  f"canceling all background work")
     return "\n".join(lines) + "\n"

@@ -269,6 +269,24 @@ class View:
                 "count": int(a["count"]), "average": float(a["average"]),
                 "max": float(a["max"])}
 
+        # memory reports: ordered {time: report} (mem_rep_parser.py)
+        self.mem_reps = {}
+        for r in self.by_kind.get("memrep", []):
+            rep = self.mem_reps.setdefault(
+                r["ts"], {"arena_total": None, "arena": {},
+                          "cfs_total": None, "cfs": {}, "misc": {}})
+            name = r["name"]
+            if name == "arena_total":
+                rep["arena_total"] = r["msg"]
+            elif name == "arena":
+                rep["arena"][r["attrs"]["entity"]] = r["msg"]
+            elif name == "cfs_total":
+                rep["cfs_total"] = r["msg"]
+            elif name == "cf":
+                rep["cfs"][r["cf"]] = r["msg"]
+            elif name == "misc":
+                rep["misc"][r["attrs"]["entity"]] = r["msg"]
+
         # block cache stats dumps (stats_mngr.py:855-952 structure)
         self.caches = {}
         for r in self.by_kind.get("block_cache", []):
@@ -1718,5 +1736,22 @@ def render_parsed_json(name, records, baseline="auto"):
     j["Seeks"] = _seeks_section(view)
     j["Warnings"] = _warnings_section(warnings_all, cfs_names)
     j["Block-Cache-Stats"] = _block_cache_section(view)
-    j["Memory-Reporting"] = "No Memory Reports"
+    j["Memory-Reporting"] = _mem_rep_section(view)
     return j
+
+
+def _mem_rep_section(view: View):
+    """display_utils.prepare_mem_reps_for_display: per report time, the
+    arena stats (zero-usage entities dropped), cf stats, and misc."""
+    if not view.mem_reps:
+        return "No Memory Reports"
+    disp = {}
+    for time, rep in view.mem_reps.items():
+        disp[time] = {
+            "Arena": {"Total": rep["arena_total"],
+                      "Entities": {k: v for k, v in rep["arena"].items()
+                                   if v != "0"}},
+            "CF-s": {"Total": rep["cfs_total"], "CF-s": dict(rep["cfs"])},
+            "Misc": dict(rep["misc"]),
+        }
+    return disp
