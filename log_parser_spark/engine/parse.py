@@ -40,30 +40,49 @@ def _doc_record_batches(text: str):
 # _REC_VALUE_ORDER — much faster than 17 x n dict lookups per flush.
 _REC_VALUE_ORDER = [f for f in RECORD_FIELDS if f != "url"] + ["url"]
 
+_ARROW_SCHEMA = None
+
+
+def _records_arrow_schema():
+    global _ARROW_SCHEMA
+    if _ARROW_SCHEMA is None:
+        from pyspark.sql.pandas.types import to_arrow_schema
+        _ARROW_SCHEMA = to_arrow_schema(RECORDS_SCHEMA)
+    return _ARROW_SCHEMA
+
 
 def _frame_from_records(buf: list[dict]) -> pd.DataFrame:
     cols = list(zip(*[list(r.values()) for r in buf]))
     return pd.DataFrame(dict(zip(_REC_VALUE_ORDER, cols)))
 
 
-def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _arrow_batch_from_records(buf: list[dict]):
+    """Records -> pa.RecordBatch directly: ~2.5x cheaper than the
+    pandas-frame path (which pays an object-dtype frame build AND the
+    worker's pandas->arrow conversion)."""
+    import pyarrow as pa
+    schema = _records_arrow_schema()
+    cols = dict(zip(_REC_VALUE_ORDER,
+                    zip(*[list(r.values()) for r in buf])))
+    arrays = [pa.array(cols[f.name], type=f.type) for f in schema]
+    return pa.RecordBatch.from_arrays(arrays, schema=schema)
+
+
+def _parse_batches(batches) -> "Iterator[pa.RecordBatch]":
     buf: list[dict] = []
-
-    def flush(buf):
-        return _frame_from_records(buf)
-
-    for pdf in batches:
-        for url, text in zip(pdf["url"].values, pdf["text"].values):
+    for rb in batches:
+        for url, text in zip(rb.column("url").to_pylist(),
+                             rb.column("text").to_pylist()):
             for recs in _doc_record_batches(
                     text if isinstance(text, str) else ""):
                 for r in recs:
                     r["url"] = url
                 buf.extend(recs)
                 while len(buf) >= _OUT_CHUNK:
-                    yield flush(buf[:_OUT_CHUNK])
+                    yield _arrow_batch_from_records(buf[:_OUT_CHUNK])
                     buf = buf[_OUT_CHUNK:]
     if buf:
-        yield flush(buf)
+        yield _arrow_batch_from_records(buf)
 
 
 def parse_pages(pages: DataFrame, repartition: int | None = None) -> DataFrame:
@@ -73,7 +92,7 @@ def parse_pages(pages: DataFrame, repartition: int | None = None) -> DataFrame:
         # spread documents evenly; hot domains are broken up because the
         # hash key is the full url, not the domain
         cols = cols.repartition(repartition, F.xxhash64("url"))
-    return cols.mapInPandas(_parse_batches, schema=RECORDS_SCHEMA)
+    return cols.mapInArrow(_parse_batches, schema=RECORDS_SCHEMA)
 
 
 def parquet_splits(path: str) -> list[tuple[str, int, int]]:
@@ -101,20 +120,16 @@ def parse_splits(spark, splits: list[tuple[str, int, int]]) -> DataFrame:
         raise ValueError("no splits")
     rdd = spark.sparkContext.parallelize(splits, len(splits))
     desc = spark.createDataFrame(rdd, "path string, rg int, n_rows int")
-    return desc.mapInPandas(_parse_split_batches, schema=RECORDS_SCHEMA)
+    return desc.mapInArrow(_parse_split_batches, schema=RECORDS_SCHEMA)
 
 
-def _parse_split_batches(batches) -> "Iterator[pd.DataFrame]":
-    import pandas as pd  # noqa: F811
+def _parse_split_batches(batches) -> "Iterator[pa.RecordBatch]":
     import pyarrow.parquet as pq
 
     buf: list[dict] = []
-
-    def flush(b):
-        return _frame_from_records(b)
-
-    for pdf in batches:
-        for fpath, rg in zip(pdf["path"].values, pdf["rg"].values):
+    for rb in batches:
+        for fpath, rg in zip(rb.column("path").to_pylist(),
+                             rb.column("rg").to_pylist()):
             tbl = pq.ParquetFile(fpath).read_row_group(
                 int(rg), columns=["url", "text"])
             urls = tbl.column("url").to_pylist()
@@ -126,10 +141,10 @@ def _parse_split_batches(batches) -> "Iterator[pd.DataFrame]":
                         r["url"] = url
                     buf.extend(recs)
                     while len(buf) >= _OUT_CHUNK:
-                        yield flush(buf[:_OUT_CHUNK])
+                        yield _arrow_batch_from_records(buf[:_OUT_CHUNK])
                         buf = buf[_OUT_CHUNK:]
     if buf:
-        yield flush(buf)
+        yield _arrow_batch_from_records(buf)
 
 
 def parse_pages_parquet(spark, path: str) -> DataFrame:
