@@ -22,11 +22,22 @@ from log_parser_spark.queries import ORACLE_SQL, QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: pages -> mapInPandas parse -> route -> event histogram."""
+    """Flagship: pages -> mapInArrow parse -> route -> event histogram,
+    parsed LIVE over a small synthesized corpus (the log_* queries read
+    the staged records artifact, so this is the driver's smoke check of
+    the actual parse path)."""
     try:
-        from log_parser_spark.queries import log_event_histogram
-        df = log_event_histogram(spark, "/root/testdata/sf0.001")
-        df.take(1)  # force corpus availability check
+        from pyspark.sql import functions as F
+
+        from log_parser_spark.corpus import build_pages_df
+        from log_parser_spark.engine import branches
+        from log_parser_spark.engine.parse import parse_pages
+        from log_parser_spark.engine.session import ensure_workers_can_import
+        ensure_workers_can_import(spark)
+        records = parse_pages(build_pages_df(spark, 12))
+        df = (branches.events(records)
+              .groupBy("event_type", "cf").agg(F.count("*").alias("n")))
+        df.take(1)  # force end-to-end parse viability check
         return df
     except Exception:
         from log_parser_spark.queries import q1_pricing_summary

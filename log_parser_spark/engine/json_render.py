@@ -763,6 +763,20 @@ def _warn_messages(of_type):
 
 
 def _general_section(view: View, name, warnings_all):
+    """get_general_json: the raw db-wide info dict with the None-valued
+    time keys removed, plus the per-CF table."""
+    d = dict(_db_wide_info(view, name, warnings_all))
+    if d["DB Size Time"] is None:
+        del d["DB Size Time"]
+    if d["Ingest Time"] is None:
+        del d["Ingest Time"]
+    d["CF-s"] = _general_cfs_section(view, view.cfs_names())
+    return d
+
+
+def _db_wide_info(view: View, name, warnings_all):
+    """display_utils.prepare_db_wide_info_for_display (raw: time keys
+    present even when None — the console renderer needs them)."""
     cfs_names = view.cfs_names()
     d = {}
     d["Name"] = name
@@ -778,8 +792,7 @@ def _general_section(view: View, name, warnings_all):
     size, size_time = _db_size_at_end(view, cfs_names)
     d["DB Size"] = human_bytes(size) if size is not None else \
         DATA_UNAVAILABLE
-    if size_time is not None:
-        d["DB Size Time"] = size_time
+    d["DB Size Time"] = size_time
 
     uo = _user_opers_stats(view)
     cw = view.cumulative_writes
@@ -822,7 +835,7 @@ def _general_section(view: View, name, warnings_all):
     else:
         d["Ingest"] = "No Ingest Info Available"
         d["Ingest Rate"] = "No Ingest Info Available"
-        # "Ingest Time": None is deleted by get_general_json
+        d["Ingest Time"] = None  # removed by get_general_json
 
     # notable entities (display_utils.notable_entities: statistics)
     stats_opt = view.get_db_wide_option("statistics")
@@ -865,7 +878,6 @@ def _general_section(view: View, name, warnings_all):
         d["Num CF-s"] = "Can't be accurately determined"
         d["Num CF-s Info"] = num_cfs_info
 
-    d["CF-s"] = _general_cfs_section(view, cfs_names)
     return d
 
 
@@ -1738,6 +1750,94 @@ def render_parsed_json(name, records, baseline="auto"):
     j["Block-Cache-Stats"] = _block_cache_section(view)
     j["Memory-Reporting"] = _mem_rep_section(view)
     return j
+
+
+def _ascii_table(columns, rows):
+    """display_utils.generate_ascii_table, byte-exact (centered cells,
+    dash borders; returns None for an empty table like the reference)."""
+    import io
+    f = io.StringIO()
+    if len(rows) < 1:
+        return None
+    widths = [2 + max(max(len(str(r[i])) for r in rows), len(columns[i]))
+              for i in range(len(columns))]
+    header = "".join(f"|{name.center(w)}" for name, w in
+                     zip(columns, widths)) + "|"
+    print("-" * len(header), file=f)
+    print(header, file=f)
+    print("-" * len(header), file=f)
+    for r in rows:
+        print("".join(f"|{str(v).center(w)}" for v, w in
+                      zip(r, widths)) + "|", file=f)
+    print("-" * len(header), file=f)
+    return f.getvalue()
+
+
+def render_console_short(name, records):
+    """S10: the reference's SHORT console printout, byte-exact
+    (console_outputter.py:24-146): title, the db-wide info block with
+    footnote suffixes, the per-CF ascii table, and the footnotes."""
+    import io
+    view = View(records)
+    warnings_all = _processed_warnings(view, view.cfs_names())
+    disp = dict(_db_wide_info(view, name, warnings_all))
+
+    f = io.StringIO()
+    title = f"Parsing of: {name}"
+    print(title, file=f)
+    print(len(title) * "=", file=f)
+
+    for key in ("Error Messages", "Fatal Messages"):
+        if isinstance(disp[key], dict):
+            disp[key] = "".join(f"\n{t} {msg}"
+                                for t, msg in disp[key].items())
+
+    def rename(d, old, new):
+        return {(new if k == old else k): v for k, v in d.items()}
+
+    suffix = ""
+    msg1 = msg2 = msg3 = None
+    db_size_msg_suffix = None
+    db_size_time = disp["DB Size Time"]
+    if db_size_time is not None:
+        suffix += "*"
+        db_size_msg_suffix = suffix
+        disp = rename(disp, "DB Size", f"DB Size ({suffix})")
+        msg1 = f"({suffix}) Data is calculated at: {db_size_time}"
+    del disp["DB Size Time"]
+
+    ingest_time = disp["Ingest Time"]
+    if ingest_time is not None:
+        if db_size_time != ingest_time:
+            suffix += "*"
+            msg2 = f"({suffix}) Ingest Data are calculated at: {ingest_time}"
+        disp = rename(disp, "Ingest", f"Ingest ({suffix})")
+    del disp["Ingest Time"]
+
+    if "Num CF-s Info" in disp:
+        suffix += "*"
+        disp = rename(disp, "Num CF-s", f"Num CF-s ({suffix})")
+        msg3 = f"({suffix}) {disp['Num CF-s Info']}"
+        del disp["Num CF-s Info"]
+
+    for field_name, value in disp.items():
+        print(f"{field_name.ljust(25)}: {value}", file=f)
+
+    cfs_disp = _general_cfs_section(view, view.cfs_names())
+    rows = [[cf, i["CF Size"], i["Avg. Key Size"], i["Avg. Value Size"],
+             i["Compaction Style"], i["Compression"], i["Filter-Policy"]]
+            for cf, i in cfs_disp.items()]
+    size_suffix = f"({db_size_msg_suffix})" if db_size_msg_suffix \
+        is not None else ""
+    header = ["Column Family", f"Size {size_suffix}", "Avg. Key Size",
+              "Avg. Value Size", "Compaction Style", "Compression",
+              "Filter-Policy"]
+    print(_ascii_table(header, rows), file=f)
+
+    for m in (msg1, msg2, msg3):
+        if m is not None:
+            print(m, file=f)
+    return f.getvalue()
 
 
 def _mem_rep_section(view: View):

@@ -54,6 +54,22 @@ def get_spark(app_name: str = "log-parser-spark", cores: int | None = None,
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    # Stop the session cleanly at interpreter exit: otherwise the JVM
+    # dies under the python daemon's workers mid-flush and they spam
+    # BrokenPipeError tracebacks to stderr.  Residual one-line worker
+    # EPIPEs can still appear with the unix-domain-socket channel (idle
+    # pooled daemon workers notice the closed socket); they are emitted
+    # by child processes after our code is done and are harmless — the
+    # UDS channel stays on because it measures 1.6x faster at 32 cores.
+    import atexit
+
+    def _stop(ref=spark):
+        try:
+            ref.stop()
+        except Exception:
+            pass
+    atexit.register(_stop)
     return spark
 
 

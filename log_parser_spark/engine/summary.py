@@ -92,7 +92,8 @@ def parsed_json_report(records: DataFrame) -> DataFrame:
 
     from log_parser_spark.engine import options_diff as od
     from log_parser_spark.engine.json_render import (
-        baseline_from_options_rows, render_parsed_json)
+        baseline_from_options_rows, render_console_short,
+        render_parsed_json)
 
     from log_parser_spark.queries import BASELINE_OPTS_PATH
     btab = _pq.read_table(BASELINE_OPTS_PATH).to_pylist()
@@ -120,8 +121,11 @@ def parsed_json_report(records: DataFrame) -> DataFrame:
             baseline_rows, meta.get("product_name"), meta.get("version"),
             baseline_dir)
         j = render_parsed_json(url, recs, baseline=baseline)
+        console = render_console_short(url, recs)
         return pd.DataFrame({"url": [url],
-                             "summary_json": [_json.dumps(j)]})
+                             "summary_json": [_json.dumps(j)],
+                             "console_short": [console]})
 
     return src.groupBy("url").applyInPandas(
-        render, schema="url string, summary_json string")
+        render,
+        schema="url string, summary_json string, console_short string")
