@@ -208,6 +208,49 @@ def synthetic_stats_log() -> str:
         flush_started(19, 12, 600, 1_500_000),
     ]
 
+    # compaction flows: job 21 (default) with the textual pre-finish
+    # stats line; job 22 (cfa) finished WITHOUT one (pre-finish left
+    # join stays null)
+    lines += [
+        f"{t(20, 500)} [/db_impl/db_impl_compaction_flush.cc:3401] "
+        f"[default] [JOB 21] Compacting 2@0 + 1@1 files to L1, score 1.50",
+        f'{t(20, 600)} EVENT_LOG_v1 {{"time_micros": 1675245620000600, '
+        f'"job": 21, "event": "compaction_started", '
+        f'"compaction_reason": "LevelL0FilesNum", '
+        f'"files_L0": [10, 11], "files_L1": [12], "score": 1.5, '
+        f'"input_data_size": 5000000}}',
+        f"{t(22)} (Original Log Time {D}-10:00:21.900000) "
+        f"[/compaction/compaction_job.cc:812] [default] compacted to: "
+        f"files[1 1 0 0 0 0 0] max score 0.50, MB/sec: 120.5 rd, 95.3 wr, "
+        f"level 1, files in(2, 1) out(1 +0 blob) "
+        f"MB in(4.0, 1.0 +0.0 blob) out(4.5 +0.0 blob), "
+        f"read-write-amplify(2.4) write-amplify(1.1) OK, "
+        f"records in: 110000, records dropped: 10000 "
+        f"output_compression: Snappy",
+        f'{t(22, 100)} EVENT_LOG_v1 {{"time_micros": 1675245622000100, '
+        f'"job": 21, "event": "compaction_finished", '
+        f'"compaction_time_micros": 2000000, '
+        f'"compaction_time_cpu_micros": 1500000, "output_level": 1, '
+        f'"num_output_files": 1, "total_output_size": 4500000, '
+        f'"num_input_records": 110000, "num_output_records": 100000, '
+        f'"num_subcompactions": 1, "output_compression": "Snappy", '
+        f'"lsm_state": [1, 1, 0, 0, 0, 0, 0]}}',
+        f"{t(23, 500)} [/db_impl/db_impl_compaction_flush.cc:3401] "
+        f"[cfa] [JOB 22] Compacting 1@0 + 0@1 files to L1, score 1.10",
+        f'{t(23, 600)} EVENT_LOG_v1 {{"time_micros": 1675245623000600, '
+        f'"job": 22, "event": "compaction_started", '
+        f'"compaction_reason": "ManualCompaction", '
+        f'"files_L0": [13], "score": 1.1, "input_data_size": 800000}}',
+        f'{t(24)} EVENT_LOG_v1 {{"time_micros": 1675245624000000, '
+        f'"job": 22, "event": "compaction_finished", '
+        f'"compaction_time_micros": 400000, '
+        f'"compaction_time_cpu_micros": 300000, "output_level": 1, '
+        f'"num_output_files": 1, "total_output_size": 700000, '
+        f'"num_input_records": 20000, "num_output_records": 19000, '
+        f'"num_subcompactions": 1, "output_compression": "NoCompression", '
+        f'"lsm_state": [0, 1, 0, 0, 0, 0, 0]}}',
+    ]
+
     def stats_dump(sec, cfs):
         body = [
             f"{t(sec)} [/db_impl/db_impl.cc:1007] ------- DUMPING STATS "
