@@ -658,6 +658,20 @@ def log_options_common_unique(spark, sf_dir):
     return out.groupBy("scope").agg(F.count(F.lit(1)).alias("n"))
 
 
+def log_compactions(spark, sf_dir):
+    """S6/J3/J4: finished compaction jobs with the textual pre-finish
+    stats matched on (cf, records_in) in document order."""
+    from log_parser_spark.engine import branches, sinks
+    r = _records(spark)
+    return sinks.compactions_sink(
+        branches.events(r), branches.prefinish(r)).select(
+        "url", "cf", "job_id", "start_ts", "finish_ts", "duration_ms",
+        "compaction_reason", "input_data_size", "compaction_time_micros",
+        "output_level", "num_output_files", "total_output_size",
+        "records_in", "records_dropped", "read_rate_mbps",
+        "write_rate_mbps")
+
+
 def log_seek_stats(spark, sf_dir):
     """A6 complete: seek counter deltas + range + rate/sec + latency."""
     from log_parser_spark.engine import aggregates, branches
@@ -961,6 +975,79 @@ SELECT m.url, m.product_name, m.version,
 FROM meta m LEFT JOIN dbsize d USING (url)
 """
 
+
+LOG_COMPACTIONS_SQL = f"""
+WITH ce AS (
+  SELECT url, seq, ts, cf, job_id, event_type, time_micros, payload_json
+  FROM {_R} WHERE kind = 'event'
+    AND event_type IN ('compaction_started', 'compaction_finished')),
+tagged AS (
+  SELECT *, last_value(CASE WHEN event_type = 'compaction_started'
+                            THEN seq END IGNORE NULLS) OVER
+            (PARTITION BY url, job_id, cf ORDER BY seq
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS matched_start_seq
+  FROM ce),
+fin AS (
+  SELECT url, job_id, cf, matched_start_seq,
+         arg_max(ts, seq) AS finish_ts,
+         arg_max(seq, seq) AS finish_seq,
+         arg_max(time_micros, seq) AS finish_micros,
+         arg_max(payload_json, seq) AS finish_payload
+  FROM tagged
+  WHERE event_type = 'compaction_finished'
+    AND matched_start_seq IS NOT NULL
+  GROUP BY url, job_id, cf, matched_start_seq),
+jobs AS (
+  SELECT s.url, s.cf, s.job_id, s.ts AS start_ts, f.finish_ts,
+         f.finish_seq,
+         CAST(trunc((f.finish_micros - s.time_micros) / 1000.0) AS BIGINT)
+           AS duration_ms,
+         json_extract_string(s.payload_json, '$.compaction_reason')
+           AS compaction_reason,
+         CAST(json_extract_string(s.payload_json, '$.input_data_size')
+              AS BIGINT) AS input_data_size,
+         CAST(json_extract_string(f.finish_payload,
+              '$.compaction_time_micros') AS BIGINT)
+           AS compaction_time_micros,
+         CAST(json_extract_string(f.finish_payload, '$.output_level')
+              AS BIGINT) AS output_level,
+         CAST(json_extract_string(f.finish_payload, '$.num_output_files')
+              AS BIGINT) AS num_output_files,
+         CAST(json_extract_string(f.finish_payload, '$.total_output_size')
+              AS BIGINT) AS total_output_size,
+         CAST(json_extract_string(f.finish_payload, '$.num_input_records')
+              AS BIGINT) AS records_in
+  FROM (SELECT * FROM tagged WHERE event_type = 'compaction_started') s
+  JOIN fin f
+    ON s.url = f.url AND s.job_id = f.job_id AND s.cf = f.cf
+       AND s.seq = f.matched_start_seq),
+jr AS (SELECT *, row_number() OVER
+         (PARTITION BY url, cf, records_in ORDER BY finish_seq) AS match_rk
+       FROM jobs),
+pre AS (
+  SELECT url, cf,
+         CAST(json_extract_string(attrs_json, '$.records_in') AS BIGINT)
+           AS records_in,
+         CAST(json_extract_string(attrs_json, '$.records_dropped')
+              AS BIGINT) AS records_dropped,
+         CAST(json_extract_string(attrs_json, '$.read_rate_mbps')
+              AS DOUBLE) AS read_rate_mbps,
+         CAST(json_extract_string(attrs_json, '$.write_rate_mbps')
+              AS DOUBLE) AS write_rate_mbps,
+         row_number() OVER
+           (PARTITION BY url, cf,
+            CAST(json_extract_string(attrs_json, '$.records_in') AS BIGINT)
+            ORDER BY seq) AS match_rk
+  FROM {_R} WHERE kind = 'prefinish')
+SELECT j.url, j.cf, j.job_id, j.start_ts, j.finish_ts, j.duration_ms,
+       j.compaction_reason, j.input_data_size, j.compaction_time_micros,
+       j.output_level, j.num_output_files, j.total_output_size,
+       j.records_in, p.records_dropped, p.read_rate_mbps, p.write_rate_mbps
+FROM jr j LEFT JOIN pre p
+  ON j.url = p.url AND j.cf = p.cf AND j.records_in = p.records_in
+     AND j.match_rk = p.match_rk
+"""
 
 _SEEK_NAMES = ("'rocksdb.number.db.seek'", "'rocksdb.number.db.seek.found'",
                "'rocksdb.number.db.next'", "'rocksdb.number.db.prev'")
@@ -1312,6 +1399,7 @@ ORACLE_SQL = {
     "log_options_vs_baseline": LOG_OPTIONS_BASELINE_SQL,
     "log_options_common_unique": LOG_OPTIONS_COMMON_SQL,
     "log_parsed_summaries": LOG_PARSED_SUMMARIES_SQL,
+    "log_compactions": LOG_COMPACTIONS_SQL,
     "log_seek_stats": LOG_SEEK_STATS_SQL,
     "log_filter_effectiveness": LOG_FILTER_EFFECTIVENESS_SQL,
     "log_growth_total": LOG_GROWTH_TOTAL_SQL,
@@ -1357,6 +1445,7 @@ QUERIES = {
     "log_options_common_unique": log_options_common_unique,
     "log_parsed_summaries": log_parsed_summaries,
     "log_parsed_json_report": log_parsed_json_report,
+    "log_compactions": log_compactions,
     "log_seek_stats": log_seek_stats,
     "log_filter_effectiveness": log_filter_effectiveness,
     "log_growth_total": log_growth_total,
