@@ -66,6 +66,79 @@ def extract_media_metadata(df: DataFrame, key: str = "doc_id",
         fn, schema=MEDIA_META_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("thumbnail", T.BinaryType()),
+])
+
+
+def resize_images(df: DataFrame, target_w: int = 64, target_h: int = 64,
+                  key: str = "doc_id",
+                  binary_col: str = "payload") -> DataFrame:
+    """Image resize as a mapInPandas stage: one thumbnail row per input
+    row.  The pixel work is STUBBED (no PIL here) with a deterministic
+    fake thumbnail derived from the payload hash; the Spark plumbing —
+    Arrow binary batches in AND out, fixed output schema, row
+    cardinality — is real."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "thumbnail": []}
+            for k, payload in zip(pdf[key].values, pdf[binary_col].values):
+                data = bytes(payload) if payload is not None else b""
+                # real impl: PIL.Image.open(io.BytesIO(data))
+                #            .resize((target_w, target_h)).tobytes()
+                digest = hashlib.sha256(data).digest()
+                fake = (digest * ((target_w * target_h) // len(digest) + 1)
+                        )[: target_w * target_h]
+                out["doc_id"].append(k)
+                out["width"].append(target_w)
+                out["height"].append(target_h)
+                out["thumbnail"].append(fake)
+            yield pd.DataFrame(out)
+
+    return df.select(key, binary_col).mapInPandas(fn, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("ts_sec", T.DoubleType()),
+    T.StructField("frame", T.BinaryType()),
+])
+
+
+def sample_frames(df: DataFrame, every_n_sec: float = 1.0,
+                  max_frames: int = 8, key: str = "doc_id",
+                  binary_col: str = "payload") -> DataFrame:
+    """Video frame sampling as a mapInPandas stage: one input row fans
+    out to MULTIPLE frame rows (the 1->N batch shape a real decoder
+    needs).  Decode is STUBBED: a deterministic fake duration and fake
+    frame bytes come from the payload hash; swap for pyav on a cluster
+    that has it."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "ts_sec": [], "frame": []}
+            for k, payload in zip(pdf[key].values, pdf[binary_col].values):
+                data = bytes(payload) if payload is not None else b""
+                digest = hashlib.sha256(data).digest()
+                # real impl: container = av.open(...); duration; seek
+                duration_sec = 1 + digest[2] % 16
+                n = min(max_frames, int(duration_sec / every_n_sec))
+                for i in range(n):
+                    out["doc_id"].append(k)
+                    out["frame_idx"].append(i)
+                    out["ts_sec"].append(i * every_n_sec)
+                    out["frame"].append(
+                        hashlib.sha256(digest + bytes([i])).digest())
+            yield pd.DataFrame(out)
+
+    return df.select(key, binary_col).mapInPandas(fn, schema=FRAMES_SCHEMA)
+
+
 def binary_meta_columns(df: DataFrame, key: str = "doc_id",
                         text_col: str = "text") -> DataFrame:
     """Pure-codegen binary metadata over an opaque payload column

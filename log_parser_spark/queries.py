@@ -429,6 +429,32 @@ def binary_meta(spark, sf_dir):
     return binary_meta_columns(_t(spark, sf_dir, "documents"))
 
 
+def media_frame_stats(spark, sf_dir):
+    """Multimodal frame sampling (1->N mapInPandas fan-out over opaque
+    payload bytes), rolled up per doc.  The decode stub derives a
+    deterministic duration from sha256(payload), which DuckDB can
+    reproduce — so even the stubbed media path is oracle-checked."""
+    from log_parser_spark.ops.multimodal import sample_frames
+    docs = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+            .select("doc_id", F.encode("text", "utf-8").alias("payload")))
+    frames = sample_frames(docs, every_n_sec=1.0, max_frames=4)
+    return frames.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"),
+        F.max("ts_sec").alias("max_ts_sec"))
+
+
+MEDIA_FRAME_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         1 + CAST('0x' || substr(sha256(text), 5, 2) AS INTEGER) % 16
+           AS duration
+  FROM documents WHERE doc_id < 50)
+SELECT doc_id, CAST(least(4, duration) AS BIGINT) AS n_frames,
+       CAST((least(4, duration) - 1) * 1.0 AS DOUBLE) AS max_ts_sec
+FROM d
+"""
+
+
 BINARY_META_SQL = """
 SELECT doc_id, octet_length(encode(text)) AS n_bytes,
        md5(text) AS content_hash
@@ -1384,6 +1410,7 @@ ORACLE_SQL = {
     "lang_id_counts": LANG_ID_SQL,
     "ngram_jaccard_adjacent": NGRAM_JACCARD_SQL,
     "binary_meta": BINARY_META_SQL,
+    "media_frame_stats": MEDIA_FRAME_SQL,
     "embedding_topk": EMBEDDING_TOPK_SQL,
     "embedding_label_centroids": EMBEDDING_CENTROID_SQL,
     "log_route_counts": LOG_ROUTE_SQL,
@@ -1423,6 +1450,7 @@ QUERIES = {
     "lang_id_counts": lang_id_counts,
     "ngram_jaccard_adjacent": ngram_jaccard_adjacent,
     "binary_meta": binary_meta,
+    "media_frame_stats": media_frame_stats,
     "embedding_topk": embedding_topk,
     "embedding_label_centroids": embedding_label_centroids,
     # rows-only (non-SQL-expressible: hash functions / LSH / log grammar)

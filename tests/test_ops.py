@@ -118,6 +118,39 @@ def test_media_metadata_stub(spark):
     assert out[2]["content_hash"] == out[3]["content_hash"]
 
 
+def test_media_resize_stub(spark):
+    from log_parser_spark.ops.multimodal import resize_images
+    rows = [(1, b"\x89PNG fake"), (2, b"other bytes")]
+    df = spark.createDataFrame(rows, "doc_id: long, payload: binary")
+    out = {r["doc_id"]: r for r in
+           resize_images(df, target_w=16, target_h=8).collect()}
+    assert len(out) == 2
+    assert all(r["width"] == 16 and r["height"] == 8
+               for r in out.values())
+    assert all(len(r["thumbnail"]) == 16 * 8 for r in out.values())
+    # deterministic: same payload -> same thumbnail
+    again = {r["doc_id"]: r for r in
+             resize_images(df, target_w=16, target_h=8).collect()}
+    assert bytes(again[1]["thumbnail"]) == bytes(out[1]["thumbnail"])
+
+
+def test_media_frame_sampling_fans_out(spark):
+    from log_parser_spark.ops.multimodal import sample_frames
+    rows = [(1, b"video-ish bytes"), (2, b"other")]
+    df = spark.createDataFrame(rows, "doc_id: long, payload: binary")
+    out = sample_frames(df, every_n_sec=1.0, max_frames=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1, 2}
+    for doc, frames in by_doc.items():
+        assert 1 <= len(frames) <= 4          # 1 -> N fan-out
+        idxs = sorted(f["frame_idx"] for f in frames)
+        assert idxs == list(range(len(frames)))
+        assert all(f["ts_sec"] == f["frame_idx"] * 1.0 for f in frames)
+        assert len({bytes(f["frame"]) for f in frames}) == len(frames)
+
+
 def test_minhash_dup_flood_stays_linear(spark):
     """1k identical docs must NOT produce a quadratic within-bucket
     join: exact dups collapse to one representative + linear star
