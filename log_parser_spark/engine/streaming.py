@@ -48,6 +48,81 @@ def _route_batch(batch_df, batch_id: int, out_dir: str):
             os.path.join(out_dir, name, f"batch={batch_id}"))
 
 
+def watermarked_event_window_counts(events_stream, window: str = "1 minute",
+                                    watermark: str = "2 minutes",
+                                    ts_col: str = "ts"):
+    """Event-time windowed counts with a watermark for late data
+    (SURVEY §2.8 / north rule): counts per (event-time window,
+    event_type).  Late rows inside the watermark update their window;
+    later ones are dropped and the window state is reclaimed — the
+    standard bounded-state shape for a continuously-ingesting events
+    stream."""
+    from pyspark.sql import functions as F
+
+    return (events_stream
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.window(F.col(ts_col), window), F.col("event_type"))
+            .agg(F.count("*").alias("n")))
+
+
+_PAIR_OUT_SCHEMA = ("url string, job_id long, cf string, "
+                    "start_seq long, finish_seq long, duration_ms long")
+_PAIR_STATE_SCHEMA = "start_seq long, start_micros long"
+
+
+def stateful_flow_pairs_stream(flow_events):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    start/finish flow pairing with state carried ACROSS micro-batches.
+
+    Keyed by (url, job_id, cf); the state is the most recent seen start
+    — exactly the batch flow_pairs matching rule (a finish binds to the
+    most recent start of its job/cf; later finishes overwrite).  Each
+    finish emits one pair row incrementally; finishes arriving before
+    any start emit nothing, starts waiting for a finish live in state.
+
+    Input rows: (url, job_id, cf, seq, event_type, time_micros) where
+    event_type is 'start' or 'finish'.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+        url, job_id, cf = key
+        if state.exists:
+            start_seq, start_micros = state.get
+        else:
+            start_seq, start_micros = None, None
+
+        out = {"url": [], "job_id": [], "cf": [], "start_seq": [],
+               "finish_seq": [], "duration_ms": []}
+        rows = []
+        for pdf in pdfs:
+            rows.extend(pdf.to_dict("records"))
+        rows.sort(key=lambda r: r["seq"])
+        for r in rows:
+            if r["event_type"] == "start":
+                start_seq, start_micros = r["seq"], r["time_micros"]
+            elif start_seq is not None:
+                out["url"].append(url)
+                out["job_id"].append(job_id)
+                out["cf"].append(cf)
+                out["start_seq"].append(start_seq)
+                out["finish_seq"].append(r["seq"])
+                out["duration_ms"].append(
+                    int((r["time_micros"] - start_micros) / 1000))
+        if start_seq is not None:
+            state.update((start_seq, start_micros))
+        yield pd.DataFrame(out)
+
+    return (flow_events
+            .groupBy("url", "job_id", "cf")
+            .applyInPandasWithState(
+                fn, outputStructType=_PAIR_OUT_SCHEMA,
+                stateStructType=_PAIR_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
 def stream_pipeline(spark: SparkSession, pages_dir: str, out_dir: str,
                     checkpoint_dir: str, available_now: bool = True,
                     max_files_per_trigger: int = 16):

@@ -29,3 +29,69 @@ def test_stream_pipeline_available_now(spark, tmp_path):
     q2.awaitTermination(120)
     batches_after = set(os.listdir(os.path.join(out, "records")))
     assert batches_before == batches_after
+
+
+def test_watermarked_window_counts(spark, tmp_path):
+    """Event-time windowed agg with watermark over a bounded stream."""
+    import datetime as dt
+
+    from log_parser_spark.engine.streaming import (
+        watermarked_event_window_counts)
+
+    src = str(tmp_path / "events")
+    base = dt.datetime(2023, 1, 1, 10, 0, 0)
+    rows = [(base + dt.timedelta(seconds=s), t)
+            for s in (0, 10, 70, 80, 130) for t in ("click", "view")]
+    spark.createDataFrame(rows, "ts timestamp, event_type string") \
+        .write.mode("overwrite").parquet(src)
+
+    stream = (spark.readStream.schema("ts timestamp, event_type string")
+              .parquet(src))
+    agg = watermarked_event_window_counts(stream, window="1 minute",
+                                          watermark="2 minutes")
+    q = (agg.writeStream.format("memory").queryName("wincounts")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = {(r["window"]["start"].minute, r["event_type"]): r["n"]
+           for r in spark.sql("select * from wincounts").collect()}
+    # 10:00 window has 2 events per type, 10:01 has 2, 10:02 has 1
+    assert got[(0, "click")] == 2 and got[(1, "click")] == 2 \
+        and got[(2, "click")] == 1
+    assert got[(0, "view")] == 2
+
+
+def test_stateful_flow_pairs_across_batches(spark, tmp_path):
+    """applyInPandasWithState: pairing state must survive micro-batch
+    boundaries — starts arrive in batch 1 (file 1), finishes in batch 2
+    (file 2, maxFilesPerTrigger=1)."""
+    from log_parser_spark.engine.streaming import stateful_flow_pairs_stream
+
+    src = str(tmp_path / "flows")
+    os.makedirs(src)
+    schema = ("url string, job_id long, cf string, seq long, "
+              "event_type string, time_micros long")
+    starts = [("u1", 7, "default", 1, "start", 1_000_000),
+              ("u1", 7, "default", 2, "start", 2_000_000),  # overwrites
+              ("u1", 8, "cfa", 3, "start", 3_000_000)]
+    finishes = [("u1", 7, "default", 10, "finish", 5_000_000),
+                ("u1", 8, "cfa", 11, "finish", 9_000_000),
+                ("u1", 9, "cfx", 12, "finish", 9_500_000)]  # no start
+    spark.createDataFrame(starts, schema).coalesce(1) \
+        .write.parquet(src + "/a")
+    spark.createDataFrame(finishes, schema).coalesce(1) \
+        .write.parquet(src + "/b")
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src + "/*"))
+    pairs = stateful_flow_pairs_stream(stream)
+    q = (pairs.writeStream.format("memory").queryName("flowpairs")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = {(r["job_id"], r["cf"]): (r["start_seq"], r["finish_seq"],
+                                    r["duration_ms"])
+           for r in spark.sql("select * from flowpairs").collect()}
+    # job 7: finish binds the MOST RECENT start (seq 2), state crossed
+    # the batch boundary; job 9's finish had no start -> no row
+    assert got == {(7, "default"): (2, 10, 3000),
+                   (8, "cfa"): (3, 11, 6000)}
