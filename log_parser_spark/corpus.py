@@ -19,10 +19,12 @@ from log_parser_spark.engine.schema import PAGES_SCHEMA
 
 # Fixture logs are vendored into the package (data/) so the pipeline has
 # no runtime dependency on the read-only reference checkout; tests still
-# read /root/reference directly for differential comparison.
-_DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
-REFERENCE_INPUTS = os.path.join(_DATA_DIR, "input_files")
-BASELINE_LOGS = os.path.join(_DATA_DIR, "baseline_logs")
+# read /root/reference directly for differential comparison.  Resolved
+# through datafiles so a --py-files zip deployment works too.
+from log_parser_spark.datafiles import data_path  # noqa: E402
+
+REFERENCE_INPUTS = data_path("input_files")
+BASELINE_LOGS = data_path("baseline_logs")
 
 # Header prepended to the stats-only fixture so it carries valid metadata
 # (the raw fixture starts mid-log and is rejected by full-file parsing,

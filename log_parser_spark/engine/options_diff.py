@@ -24,10 +24,11 @@ from pyspark.sql import functions as F
 from log_parser_spark import grammar as g
 
 # vendored copy of the reference's baseline logs (data, not code) —
-# keeps baseline-diff runnable without the reference checkout
-BASELINE_LOGS_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "data", "baseline_logs")
+# keeps baseline-diff runnable without the reference checkout; resolved
+# through datafiles so a --py-files zip deployment works too
+from log_parser_spark.datafiles import data_path
+
+BASELINE_LOGS_DIR = data_path("baseline_logs")
 
 _NULL_PTR_STRS = ["none", "(nil)", "nil", "nullptr", "null", "0x0"]
 _SANITIZED_NO_VALUE = "Missing"

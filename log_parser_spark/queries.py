@@ -18,9 +18,10 @@ from pyspark.sql import functions as F
 from log_parser_spark.ops import dedup, similarity, text
 from log_parser_spark.ops.multimodal import binary_meta_columns
 
-_DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
-RECORDS_PATH = os.path.join(_DATA_DIR, "log_records.parquet")
-BASELINE_OPTS_PATH = os.path.join(_DATA_DIR, "baseline_options.parquet")
+from log_parser_spark.datafiles import data_path  # noqa: E402
+
+RECORDS_PATH = data_path("log_records.parquet")
+BASELINE_OPTS_PATH = data_path("baseline_options.parquet")
 # DuckDB-side sources for the staged artifacts (absolute paths so the
 # driver can run the oracle from any cwd)
 _R = f"read_parquet('{RECORDS_PATH}')"
