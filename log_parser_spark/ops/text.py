@@ -31,6 +31,22 @@ def token_count_col(text: str | Column = "text") -> Column:
     return F.size(tokens_col(text))
 
 
+# BPE-ish pre-tokenization (GPT-2 style piece boundaries, simplified to
+# a regex both Spark's Java regex and DuckDB's RE2 accept): common
+# contractions, letter runs, digit runs, punctuation runs — whitespace
+# folds into the following piece and is never a token itself.
+BPE_PIECE_PATTERN = (r"'(?:s|t|re|ve|m|ll|d)"
+                     r"| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+")
+
+
+def bpe_token_count_col(text: str | Column = "text") -> Column:
+    """Approximate BPE token count as a pure-codegen regexp count (a
+    cheap LLM-budget estimator: GPT-2-ish piece boundaries without the
+    merges table)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(BPE_PIECE_PATTERN)).cast("long")
+
+
 def quality_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / digit / uppercase ratios + a composite
     quality score, all as codegen-friendly expressions."""

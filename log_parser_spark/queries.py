@@ -326,6 +326,33 @@ FROM t GROUP BY lang
 """
 
 
+def bpe_token_stats(spark, sf_dir):
+    """BPE-ish token counting (GPT-2-style piece regex, pure codegen)
+    rolled up per language — the LLM-budget estimator companion to the
+    whitespace token counter."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", text.bpe_token_count_col("text").alias("n_bpe"))
+    return toks.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bpe").alias("total_bpe_tokens"),
+        F.round(F.avg("n_bpe"), 6).alias("avg_bpe_tokens"))
+
+
+BPE_TOKEN_SQL = f"""
+WITH t AS (
+  SELECT lang,
+         len(regexp_extract_all(
+             text, '{text.BPE_PIECE_PATTERN.replace("'", "''")}'))
+           AS n_bpe
+  FROM documents)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
+       CAST(round(avg(n_bpe), 6) AS DOUBLE) AS avg_bpe_tokens
+FROM t GROUP BY lang
+"""
+
+
 def doc_quality(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return text.quality_columns(docs).select(
@@ -1407,6 +1434,7 @@ ORACLE_SQL = {
     "priority_status_diff": PRIORITY_DIFF_SQL,
     "dedup_exact_docs": DEDUP_EXACT_SQL,
     "token_stats_by_lang": TOKEN_STATS_SQL,
+    "bpe_token_stats": BPE_TOKEN_SQL,
     "doc_quality": DOC_QUALITY_SQL,
     "lang_id_counts": LANG_ID_SQL,
     "ngram_jaccard_adjacent": NGRAM_JACCARD_SQL,
@@ -1447,6 +1475,7 @@ QUERIES = {
     "priority_status_diff": priority_status_diff,
     "dedup_exact_docs": dedup_exact_docs,
     "token_stats_by_lang": token_stats_by_lang,
+    "bpe_token_stats": bpe_token_stats,
     "doc_quality": doc_quality,
     "lang_id_counts": lang_id_counts,
     "ngram_jaccard_adjacent": ngram_jaccard_adjacent,
