@@ -522,6 +522,15 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
 """
 
 
+def embedding_topk_arrow(spark, sf_dir):
+    """The numpy-vectorized (mapInPandas) exact top-k — identical
+    results to embedding_topk, same DuckDB oracle; the scale path for
+    wide embeddings where per-element codegen lambdas lose to a matmul."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk_arrow(
+        emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
 def embedding_label_centroids(spark, sf_dir):
     """Array aggregate: per-label centroid via posexplode + groupBy."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -1441,6 +1450,7 @@ ORACLE_SQL = {
     "binary_meta": BINARY_META_SQL,
     "media_frame_stats": MEDIA_FRAME_SQL,
     "embedding_topk": EMBEDDING_TOPK_SQL,
+    "embedding_topk_arrow": EMBEDDING_TOPK_SQL,
     "embedding_label_centroids": EMBEDDING_CENTROID_SQL,
     "log_route_counts": LOG_ROUTE_SQL,
     "log_event_histogram": LOG_EVENT_HIST_SQL,
@@ -1482,6 +1492,7 @@ QUERIES = {
     "binary_meta": binary_meta,
     "media_frame_stats": media_frame_stats,
     "embedding_topk": embedding_topk,
+    "embedding_topk_arrow": embedding_topk_arrow,
     "embedding_label_centroids": embedding_label_centroids,
     # rows-only (non-SQL-expressible: hash functions / LSH / log grammar)
     "doc_fingerprints": doc_fingerprints,

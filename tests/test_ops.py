@@ -91,6 +91,18 @@ def test_brute_force_topk_self_similarity(spark):
     assert row["cosine"] > 0.99
 
 
+def test_brute_force_arrow_equals_codegen(spark):
+    """The numpy-vectorized scorer must return EXACTLY the codegen
+    top-k (same cosines rounded to 6, same tie-breaks)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    a = similarity.brute_force_topk(emb, queries, k=5).collect()
+    b = similarity.brute_force_topk_arrow(emb, queries, k=5).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted([tuple(r) for r in a], key=lambda t: (t[0], t[3])) == \
+        sorted([tuple(r) for r in b], key=lambda t: (t[0], t[3]))
+
+
 def test_ivf_topk_recall(spark):
     import math
     rows = [(i, [math.cos(i / 7.0), math.sin(i / 7.0), 1.0])
