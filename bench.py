@@ -130,9 +130,10 @@ def main():
     bench_queries = [] if os.environ.get("BENCH_ONLY_PIPELINE") else [
         "q1_pricing_summary", "q3_top_orders", "q5_nation_volume",
         "events_route_counts", "events_asof_signup", "orders_running_sum",
-        "dedup_exact_docs", "token_stats_by_lang", "doc_quality",
-        "minhash_pairs", "simhash_docs", "embedding_topk",
-        "embedding_ann_ivf",
+        "dedup_exact_docs", "token_stats_by_lang", "bpe_token_stats",
+        "doc_quality", "minhash_pairs", "simhash_docs", "embedding_topk",
+        "embedding_topk_arrow", "embedding_ann_ivf", "media_frame_stats",
+        "log_growth_total", "log_parsed_json_report",
     ]
     for name in bench_queries:
         t = time.time()

@@ -100,19 +100,35 @@ def brute_force_topk_arrow(corpus: DataFrame, queries: DataFrame,
             .select("query_id", "neighbor_id", "cosine", "rank"))
 
 
+def _nearest_assignment(corpus, seeds, key, vec_col):
+    assigned = (corpus.crossJoin(F.broadcast(seeds))
+                .withColumn("sim", cosine_col(vec_col, "centroid")))
+    w = Window.partitionBy(key).orderBy(F.col("sim").desc(),
+                                        F.col("centroid_id"))
+    return (assigned.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select(key, vec_col, "centroid_id"))
+
+
 def ivf_assign(corpus: DataFrame, n_centroids: int = 16,
-               key: str = "vec_id", vec_col: str = "embedding"
-               ) -> tuple[DataFrame, DataFrame]:
-    """IVF bucketing without iterative k-means: the vectors whose key
-    hash is smallest serve as deterministic seed centroids; every vector
-    is assigned to its nearest centroid via a broadcast join.  Returns
+               key: str = "vec_id", vec_col: str = "embedding",
+               n_iters: int = 1) -> tuple[DataFrame, DataFrame]:
+    """IVF bucketing: deterministic hash-seeded centroids + ``n_iters``
+    Lloyd refinement rounds, all relational.  Returns
     (assignments, centroids).
 
     Seed selection is orderBy().limit(n) — Spark's distributed
     TakeOrdered (per-partition top-n, then a merge of n-row heaps on the
     driver side of the exchange).  A global Window.orderBy here would
     funnel the ENTIRE corpus through one task at 100 TB; the window
-    below runs only over the n_centroids surviving rows."""
+    below runs only over the n_centroids surviving rows.
+
+    Each Lloyd round is one broadcast assignment + one posexplode mean
+    per (centroid, dim); the recomputed centroid table (n_centroids x
+    dim values) is collected driver-side — tiny by construction — and
+    re-broadcast.  Centroids that lose all members keep their previous
+    position."""
+    spark = corpus.sparkSession
     hashed = corpus.select(
         F.col(vec_col).alias("centroid"),
         F.xxhash64(F.col(key).cast("string")).alias("_h"))
@@ -121,13 +137,29 @@ def ivf_assign(corpus: DataFrame, n_centroids: int = 16,
     seeds = (topn.withColumn("centroid_id", F.row_number().over(w))
              .select("centroid_id", "centroid"))
 
-    assigned = (corpus.crossJoin(F.broadcast(seeds))
-                .withColumn("sim", cosine_col(vec_col, "centroid")))
-    w2 = Window.partitionBy(key).orderBy(F.col("sim").desc(),
-                                         F.col("centroid_id"))
-    assignments = (assigned.withColumn("_r", F.row_number().over(w2))
-                   .filter(F.col("_r") == 1)
-                   .select(key, vec_col, "centroid_id"))
+    for _ in range(max(0, n_iters)):
+        assignments = _nearest_assignment(corpus, seeds, key, vec_col)
+        means = (assignments
+                 .select("centroid_id",
+                         F.posexplode(vec_col).alias("dim", "v"))
+                 .groupBy("centroid_id", "dim")
+                 .agg(F.avg(F.col("v").cast("double")).alias("m")))
+        rows = means.collect()  # n_centroids x dim values — tiny
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cid.setdefault(r["centroid_id"], {})[r["dim"]] = r["m"]
+        prev = {r["centroid_id"]: list(r["centroid"])
+                for r in seeds.collect()}
+        new_rows = []
+        for cid, vec in prev.items():
+            dims = by_cid.get(cid)
+            if dims:
+                vec = [float(dims[i]) for i in range(len(vec))]
+            new_rows.append((cid, vec))
+        seeds = spark.createDataFrame(
+            new_rows, "centroid_id int, centroid array<double>")
+
+    assignments = _nearest_assignment(corpus, seeds, key, vec_col)
     return assignments, seeds
 
 

@@ -217,13 +217,22 @@ def test_ivf_seeds_no_global_window(spark):
     global window over the corpus (TakeOrdered instead)."""
     rows = [(i, [float(i), 1.0]) for i in range(100)]
     emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
-    _assignments, seeds = similarity.ivf_assign(emb, n_centroids=4)
+    _assignments, seeds = similarity.ivf_assign(emb, n_centroids=4,
+                                                n_iters=0)
     assert seeds.count() == 4
     assert sorted(r["centroid_id"] for r in seeds.collect()) == [1, 2, 3, 4]
     # TakeOrderedAndProject (distributed top-n) must drive seed
     # selection; the only Window allowed is over the n-row result
     seed_plan = seeds._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in seed_plan
+
+    # Lloyd refinement (default path) moves centroids off the raw seeds
+    _a2, refined = similarity.ivf_assign(emb, n_centroids=4, n_iters=1)
+    raw = {r["centroid_id"]: list(r["centroid"]) for r in seeds.collect()}
+    ref = {r["centroid_id"]: list(r["centroid"]) for r in refined.collect()}
+    assert set(ref) == set(raw)
+    assert any([round(x, 6) for x in ref[c]]
+               != [round(float(x), 6) for x in raw[c]] for c in ref)
 
 
 def test_fingerprint_throughput(spark):
