@@ -43,9 +43,20 @@ def minhash_signatures(df: DataFrame, key: str = "doc_id",
                        text_col: str = "text", num_perm: int = 16,
                        k: int = 3) -> DataFrame:
     """MinHash over word-k-gram shingles with `num_perm` xxhash64 seeds,
-    entirely in built-in expressions: shingle -> explode -> groupBy(min)."""
-    sh = (df.select(key, F.explode(
-        F.array_distinct(shingles_col(text_col, k))).alias("shingle")))
+    entirely in built-in expressions: shingle -> explode -> groupBy(min).
+
+    The input is key-repartitioned FIRST: (a) a small parquet input
+    arrives as one partition and would serialize the whole shingle
+    explode onto one task (the EXPLICIT partition count also keeps AQE
+    from re-coalescing this small-bytes/heavy-compute shuffle to one
+    partition); (b) shuffling texts by key up front means the
+    groupBy(key) after the explode needs NO exchange of the (much
+    larger) shingle rows — a text-level shuffle replaces a shingle-level
+    one."""
+    n_out = df.sparkSession.sparkContext.defaultParallelism
+    sh = (df.select(key, text_col).repartition(n_out, F.col(key))
+          .select(key, F.explode(
+              F.array_distinct(shingles_col(text_col, k))).alias("shingle")))
     aggs = [F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(
         f"mh_{seed}") for seed in range(num_perm)]
     return sh.groupBy(key).agg(*aggs)
@@ -125,8 +136,11 @@ def minhash_lsh_pairs(df: DataFrame, key: str = "doc_id",
 
 def simhash(df: DataFrame, key: str = "doc_id",
             text_col: str = "text") -> DataFrame:
-    """SimHash(64): explode tokens, vote per bit, reassemble."""
-    toks = df.select(key, F.explode(tokens_col(text_col)).alias("tok"))
+    """SimHash(64): explode tokens, vote per bit, reassemble.  Key-
+    repartitioned first for the same reasons as minhash_signatures."""
+    n_out = df.sparkSession.sparkContext.defaultParallelism
+    toks = (df.select(key, text_col).repartition(n_out, F.col(key))
+            .select(key, F.explode(tokens_col(text_col)).alias("tok")))
     toks = toks.withColumn("h", F.xxhash64("tok"))
     votes = toks.select(
         key, *[(F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1,

@@ -37,8 +37,11 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     (sim desc, neighbor asc)."""
     q = queries.select(F.col(key).alias("query_id"),
                        F.col(vec_col).alias("qv"))
+    # small parquet inputs arrive single-partition; spread the corpus so
+    # the scoring crossJoin parallelizes
     c = corpus.select(F.col(key).alias("neighbor_id"),
-                      F.col(vec_col).alias("cv"))
+                      F.col(vec_col).alias("cv")).repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism, F.col(key))
     scored = (F.broadcast(q).crossJoin(c)
               .filter(F.col("query_id") != F.col("neighbor_id"))
               .withColumn("cosine", F.round(cosine_col("qv", "cv"), 6)))
@@ -90,7 +93,9 @@ def brute_force_topk_arrow(corpus: DataFrame, queries: DataFrame,
                     out["cosine"].append(round(float(col[ci]), 6))
             yield pd.DataFrame(out)
 
-    scored = corpus.select(key, vec_col).mapInPandas(
+    scored = corpus.select(key, vec_col).repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism,
+        F.col(key)).mapInPandas(
         score, schema="query_id long, neighbor_id long, cosine double")
     scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(
@@ -101,6 +106,8 @@ def brute_force_topk_arrow(corpus: DataFrame, queries: DataFrame,
 
 
 def _nearest_assignment(corpus, seeds, key, vec_col):
+    corpus = corpus.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism, F.col(key))
     assigned = (corpus.crossJoin(F.broadcast(seeds))
                 .withColumn("sim", cosine_col(vec_col, "centroid")))
     w = Window.partitionBy(key).orderBy(F.col("sim").desc(),

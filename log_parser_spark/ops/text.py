@@ -151,4 +151,7 @@ def fingerprint_udf(texts: pd.Series) -> pd.Series:
 
 
 def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
-    return df.withColumn("fingerprint", fingerprint_udf(F.col(text_col)))
+    # spread single-partition inputs so the pandas UDF parallelizes
+    n_out = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n_out, F.crc32(F.col(text_col))).withColumn(
+        "fingerprint", fingerprint_udf(F.col(text_col)))
