@@ -159,6 +159,48 @@ def simhash(df: DataFrame, key: str = "doc_id",
     return sums.select(key, sim.alias("simhash"))
 
 
+def simhash_pairs(df: DataFrame, key: str = "doc_id",
+                  text_col: str = "text", max_hamming: int = 3,
+                  max_bucket_size: int = 256) -> DataFrame:
+    """SimHash near-dup pairs via banded Hamming join: split the 64-bit
+    simhash into (max_hamming + 1) bands — by pigeonhole, two hashes
+    within ``max_hamming`` bits share at least one band EXACTLY — bucket
+    on (band, value), self-join within buckets (ReuseExchange like the
+    minhash join), then filter by the true bit_count of the XOR.
+    Bucket-capped for the same boilerplate-flood reason as minhash."""
+    nb = max_hamming + 1
+    width = 64 // nb
+    sh = simhash(df, key, text_col)
+
+    def band(i):
+        shift = i * width
+        w = 64 - shift if i == nb - 1 else width
+        mask = -1 if w >= 64 else (1 << w) - 1
+        return F.struct(
+            F.lit(i).alias("band"),
+            F.shiftrightunsigned("simhash", shift).bitwiseAND(F.lit(mask))
+            .alias("value"))
+
+    buckets = sh.select(key, "simhash", F.explode(F.array(
+        *[band(i) for i in range(nb)])).alias("bb"))
+    wb = Window.partitionBy("bb")
+    buckets = (buckets.withColumn("_bsz", F.count(F.lit(1)).over(wb))
+               .filter(F.col("_bsz") <= max_bucket_size).drop("_bsz"))
+
+    x, y = buckets.alias("x"), buckets.alias("y")
+    pairs = (x.join(y, F.col("x.bb") == F.col("y.bb"))
+             .filter(F.col(f"x.{key}") < F.col(f"y.{key}"))
+             .select(F.col(f"x.{key}").alias("a"),
+                     F.col(f"y.{key}").alias("b"),
+                     F.col("x.simhash").alias("sh_a"),
+                     F.col("y.simhash").alias("sh_b"))
+             .dropDuplicates(["a", "b"]))
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (pairs.withColumn("hamming", hamming.cast("int"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("a", "b", "hamming"))
+
+
 def ngram_jaccard(df_pairs: DataFrame, left_text: str, right_text: str,
                   k: int = 3):
     """Jaccard similarity of word-k-gram shingle sets for pre-paired rows

@@ -567,6 +567,19 @@ def simhash_docs(spark, sf_dir):
     return dedup.simhash(_t(spark, sf_dir, "documents"))
 
 
+def simhash_near_pairs(spark, sf_dir):
+    """SimHash banded-Hamming pairing (rows-only: xxhash-based).  Plants
+    deterministic one-token perturbations of the first 25 docs; the op
+    must pair originals with their perturbations at a small Hamming
+    budget."""
+    docs = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 25)
+            .select("doc_id", "text"))
+    pert = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                       F.concat("text", F.lit(" perturbed")).alias("text"))
+    # hamming<=8 recovers all 25 planted pairs with few extras here
+    return dedup.simhash_pairs(docs.unionByName(pert), max_hamming=8)
+
+
 def embedding_ann_ivf(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
@@ -1498,6 +1511,7 @@ QUERIES = {
     "doc_fingerprints": doc_fingerprints,
     "minhash_pairs": minhash_pairs,
     "simhash_docs": simhash_docs,
+    "simhash_near_pairs": simhash_near_pairs,
     "embedding_ann_ivf": embedding_ann_ivf,
     "embedding_cosine_dedup": embedding_cosine_dedup,
     "log_route_counts": log_route_counts,

@@ -47,6 +47,24 @@ def test_simhash_near_dups_close(docs):
     assert ham_13 < ham_14
 
 
+def test_simhash_pairs_banded_hamming(spark):
+    rows = [(1, "the cat sat on the mat and the dog sat too " * 4, "en"),
+            (2, "the cat sat on the mat and the dog sat too " * 4, "en"),
+            (3, "the cat sat on the mat and the dog ran too " * 4, "en"),
+            (4, "completely different text about gardens and rivers "
+                "flowing through quiet valleys every morning", "en")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {(r["a"], r["b"]): r["hamming"]
+           for r in dedup.simhash_pairs(df, max_hamming=8).collect()}
+    assert got.get((1, 2)) == 0                # identical docs
+    assert (1, 3) in got and got[(1, 3)] <= 8  # near dup within budget
+    assert (1, 4) not in got and (2, 4) not in got
+    # exactness of the hamming value vs the raw hashes
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+    for (a, b), h in got.items():
+        assert bin((sh[a] ^ sh[b]) & ((1 << 64) - 1)).count("1") == h
+
+
 def test_ngram_jaccard(docs, spark):
     a = docs.select(F.col("doc_id").alias("a"), F.col("text").alias("ta"))
     b = docs.select(F.col("doc_id").alias("b"), F.col("text").alias("tb"))
