@@ -779,6 +779,50 @@ def log_block_cache(spark, sf_dir):
                                               branches.events(r))
 
 
+def log_stall_totals(spark, sf_dir):
+    """A23: db-wide write-stall rollup per url."""
+    from log_parser_spark.engine import aggregates, branches
+    return aggregates.stall_totals(branches.db_stats_stalls(_records(spark)))
+
+
+LOG_STALL_TOTALS_SQL = f"""
+SELECT url,
+       max(CAST(json_extract_string(attrs_json,
+           '$.cumulative_duration_ms') AS BIGINT))
+         AS max_cumulative_stall_ms,
+       CAST(sum(CAST(json_extract_string(attrs_json,
+            '$.interval_duration_ms') AS BIGINT)) AS BIGINT)
+         AS total_interval_stall_ms,
+       count(*) AS n_stall_samples
+FROM {_R} WHERE kind = 'db_stats_stall' GROUP BY url
+"""
+
+
+def log_blob_stats(spark, sf_dir):
+    """Blob-file stats: last dump per (url, cf)."""
+    from log_parser_spark.engine import branches
+    b = branches.blob_stats(_records(spark))
+    return b.groupBy("url", "cf").agg(
+        F.max_by("file_count", "seq").alias("file_count"),
+        F.max_by("total_size", "seq").alias("total_size"),
+        F.max_by("garbage_size", "seq").alias("garbage_size"),
+        F.round(F.max_by("space_amp", "seq"), 6).alias("space_amp"))
+
+
+LOG_BLOB_STATS_SQL = f"""
+SELECT url, cf,
+       arg_max(CAST(json_extract_string(attrs_json, '$.file_count')
+                    AS BIGINT), seq) AS file_count,
+       arg_max(CAST(json_extract_string(attrs_json, '$.total_size')
+                    AS BIGINT), seq) AS total_size,
+       arg_max(CAST(json_extract_string(attrs_json, '$.garbage_size')
+                    AS BIGINT), seq) AS garbage_size,
+       CAST(round(arg_max(CAST(json_extract_string(attrs_json,
+            '$.space_amp') AS DOUBLE), seq), 6) AS DOUBLE) AS space_amp
+FROM {_R} WHERE kind = 'blob_stats' GROUP BY url, cf
+"""
+
+
 def log_parsed_json_report(spark, sf_dir):
     """S9 exact: reference-shaped get_json report per url (rows-only —
     the nested humanized JSON is not SQL-expressible; parity vs the
@@ -1479,6 +1523,8 @@ ORACLE_SQL = {
     "log_options_common_unique": LOG_OPTIONS_COMMON_SQL,
     "log_parsed_summaries": LOG_PARSED_SUMMARIES_SQL,
     "log_compactions": LOG_COMPACTIONS_SQL,
+    "log_stall_totals": LOG_STALL_TOTALS_SQL,
+    "log_blob_stats": LOG_BLOB_STATS_SQL,
     "log_seek_stats": LOG_SEEK_STATS_SQL,
     "log_filter_effectiveness": LOG_FILTER_EFFECTIVENESS_SQL,
     "log_growth_total": LOG_GROWTH_TOTAL_SQL,
@@ -1529,6 +1575,8 @@ QUERIES = {
     "log_parsed_summaries": log_parsed_summaries,
     "log_parsed_json_report": log_parsed_json_report,
     "log_compactions": log_compactions,
+    "log_stall_totals": log_stall_totals,
+    "log_blob_stats": log_blob_stats,
     "log_seek_stats": log_seek_stats,
     "log_filter_effectiveness": log_filter_effectiveness,
     "log_growth_total": log_growth_total,
