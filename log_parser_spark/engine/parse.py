@@ -9,9 +9,8 @@ column pruning reaches the scan (the html binary column is never read).
 
 from __future__ import annotations
 
-from typing import Iterator
+from typing import Iterator  # noqa: F401 (annotations)
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -49,11 +48,6 @@ def _records_arrow_schema():
         from pyspark.sql.pandas.types import to_arrow_schema
         _ARROW_SCHEMA = to_arrow_schema(RECORDS_SCHEMA)
     return _ARROW_SCHEMA
-
-
-def _frame_from_records(buf: list[dict]) -> pd.DataFrame:
-    cols = list(zip(*[list(r.values()) for r in buf]))
-    return pd.DataFrame(dict(zip(_REC_VALUE_ORDER, cols)))
 
 
 def _arrow_batch_from_records(buf: list[dict]):
@@ -114,8 +108,6 @@ def parquet_splits(path: str) -> list[tuple[str, int, int]]:
 def parse_splits(spark, splits: list[tuple[str, int, int]]) -> DataFrame:
     """Parse an explicit list of (file, row_group, n_rows) splits — the
     checkpoint/lineage unit of the pipeline."""
-    import pandas as pd  # noqa: F811
-
     if not splits:
         raise ValueError("no splits")
     rdd = spark.sparkContext.parallelize(splits, len(splits))
