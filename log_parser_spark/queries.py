@@ -452,6 +452,73 @@ FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
 """
 
 
+def corpus_cleaning(spark, sf_dir):
+    """The composed training-data cleaning pass (quality x language x
+    exact dedup) with a per-document keep/drop verdict and first-failing
+    reason — every stage SQL-expressible, so the whole composition is
+    oracle-checked."""
+    from log_parser_spark.ops.cleaning import corpus_cleaning_flags
+    return corpus_cleaning_flags(_t(spark, sf_dir, "documents"))
+
+
+CORPUS_CLEANING_SQL = f"""
+WITH q0 AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE length(regexp_split_to_array(trim(text), '\\s+')) END
+           AS n_tokens,
+         length(text)::DOUBLE AS n,
+         length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE
+           AS punct,
+         length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE AS digits
+  FROM documents),
+q1 AS (
+  SELECT doc_id, n_tokens,
+         CAST(round(punct / greatest(n, 1.0), 6) AS DOUBLE) AS punct_ratio,
+         CAST(round(digits / greatest(n, 1.0), 6) AS DOUBLE) AS digit_ratio
+  FROM q0),
+q AS (
+  SELECT doc_id, n_tokens,
+         CAST(round(1.0 - least(1.0, punct_ratio * 4) * 0.25
+                        - least(1.0, digit_ratio * 4) * 0.25
+                        - CASE WHEN n_tokens < 5 THEN 0.5 ELSE 0.0 END, 6)
+              AS DOUBLE) AS quality_score
+  FROM q1),
+t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END
+           AS toks
+  FROM documents),
+h AS (
+  SELECT doc_id,
+         len(list_filter(toks, x -> x IN ({_SW['en']}))) AS hits_en,
+         len(list_filter(toks, x -> x IN ({_SW['de']}))) AS hits_de,
+         len(list_filter(toks, x -> x IN ({_SW['fr']}))) AS hits_fr
+  FROM t),
+l AS (
+  SELECT doc_id, CASE
+           WHEN greatest(hits_en, hits_de, hits_fr) <= 0 THEN 'und'
+           WHEN hits_en = greatest(hits_en, hits_de, hits_fr) THEN 'en'
+           WHEN hits_de = greatest(hits_en, hits_de, hits_fr) THEN 'de'
+           ELSE 'fr' END AS pred_lang
+  FROM h),
+rep AS (SELECT md5(text) AS ch, min(doc_id) AS rep FROM documents
+        GROUP BY 1),
+r AS (SELECT d.doc_id, d.doc_id = rep.rep AS is_rep
+      FROM documents d JOIN rep ON md5(d.text) = rep.ch),
+v AS (
+  SELECT q.doc_id,
+         CASE WHEN NOT r.is_rep THEN 'duplicate'
+              WHEN q.n_tokens < 5 THEN 'too_short'
+              WHEN q.quality_score < 0.75 THEN 'low_quality'
+              WHEN l.pred_lang = 'und' THEN 'unknown_lang'
+              ELSE 'kept' END AS reason
+  FROM q JOIN l ON q.doc_id = l.doc_id JOIN r ON q.doc_id = r.doc_id)
+SELECT doc_id, reason, reason = 'kept' AS kept FROM v
+"""
+
+
 def binary_meta(spark, sf_dir):
     """Multimodal plumbing (JVM fast path): opaque payload -> metadata."""
     return binary_meta_columns(_t(spark, sf_dir, "documents"))
@@ -1506,6 +1573,7 @@ ORACLE_SQL = {
     "ngram_jaccard_adjacent": NGRAM_JACCARD_SQL,
     "binary_meta": BINARY_META_SQL,
     "media_frame_stats": MEDIA_FRAME_SQL,
+    "corpus_cleaning": CORPUS_CLEANING_SQL,
     "embedding_topk": EMBEDDING_TOPK_SQL,
     "embedding_topk_arrow": EMBEDDING_TOPK_SQL,
     "embedding_label_centroids": EMBEDDING_CENTROID_SQL,
@@ -1550,6 +1618,7 @@ QUERIES = {
     "ngram_jaccard_adjacent": ngram_jaccard_adjacent,
     "binary_meta": binary_meta,
     "media_frame_stats": media_frame_stats,
+    "corpus_cleaning": corpus_cleaning,
     "embedding_topk": embedding_topk,
     "embedding_topk_arrow": embedding_topk_arrow,
     "embedding_label_centroids": embedding_label_centroids,

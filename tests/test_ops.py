@@ -269,6 +269,25 @@ def test_fingerprint_throughput(spark):
     assert dt < 0.8  # 4 MB in <0.8s => >5 MB/s/core floor (typ. >100)
 
 
+def test_corpus_cleaning_reasons(spark):
+    from log_parser_spark.ops.cleaning import corpus_cleaning_flags
+    rows = [
+        (1, "the cat sat on the mat and it is a fine day for the dog"),
+        (2, "the cat sat on the mat and it is a fine day for the dog"),
+        (3, "too short"),
+        (4, "12.34 56.78 90.12 34.56 78.90 12.34 56.78 90.12"),  # digits+punct
+        (5, "zzz qqq xxx yyy www vvv uuu ttt sss"),           # no lang
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: (r["kept"], r["reason"])
+           for r in corpus_cleaning_flags(df).collect()}
+    assert out[1] == (True, "kept")
+    assert out[2] == (False, "duplicate")
+    assert out[3] == (False, "too_short")
+    assert out[4] == (False, "low_quality")
+    assert out[5] == (False, "unknown_lang")
+
+
 def test_salted_aggregation_exact(spark):
     from log_parser_spark.ops import skew
     # Zipf-ish: one hot key with 10x the rows
