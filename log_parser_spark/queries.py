@@ -357,16 +357,23 @@ def doc_quality(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return text.quality_columns(docs).select(
         "doc_id", "n_bytes", "n_tokens", "punct_ratio", "digit_ratio",
-        "upper_ratio", "quality_score")
+        "upper_ratio", "stopword_ratio", "quality_score")
 
 
-DOC_QUALITY_SQL = """
+_SW_ALL = ", ".join(
+    f"'{w}'" for w in sorted({w for ws in text.STOPWORDS.values()
+                              for w in ws}))
+
+DOC_QUALITY_SQL = f"""
 WITH q AS (
   SELECT doc_id,
          octet_length(encode(text)) AS n_bytes,
          CASE WHEN length(trim(text)) = 0 THEN 0
               ELSE length(regexp_split_to_array(trim(text), '\\s+')) END
            AS n_tokens,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END
+           AS toks,
          length(text)::DOUBLE AS n,
          length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE AS punct,
          length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE AS digits,
@@ -376,9 +383,13 @@ WITH q AS (
   SELECT doc_id, n_bytes, n_tokens,
          CAST(round(punct / greatest(n, 1.0), 6) AS DOUBLE) AS punct_ratio,
          CAST(round(digits / greatest(n, 1.0), 6) AS DOUBLE) AS digit_ratio,
-         CAST(round(uppr / greatest(n, 1.0), 6) AS DOUBLE) AS upper_ratio
+         CAST(round(uppr / greatest(n, 1.0), 6) AS DOUBLE) AS upper_ratio,
+         CAST(round(len(list_filter(toks, x -> x IN ({_SW_ALL})))::DOUBLE
+                    / greatest(n_tokens::DOUBLE, 1.0), 6) AS DOUBLE)
+           AS stopword_ratio
   FROM q)
 SELECT doc_id, n_bytes, n_tokens, punct_ratio, digit_ratio, upper_ratio,
+       stopword_ratio,
        CAST(round(1.0 - least(1.0, punct_ratio * 4) * 0.25
                       - least(1.0, digit_ratio * 4) * 0.25
                       - CASE WHEN n_tokens < 5 THEN 0.5 ELSE 0.0 END, 6)
