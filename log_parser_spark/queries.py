@@ -901,6 +901,36 @@ FROM {_R} WHERE kind = 'blob_stats' GROUP BY url, cf
 """
 
 
+def log_domain_rollup(spark, sf_dir):
+    """J11: domain extraction + broadcast tier dim onto the records
+    stream, rolled up per (domain, tier, kind)."""
+    from log_parser_spark.engine import enrich
+    r = _records(spark).select("url", "kind")
+    d = enrich.with_domain(r).join(
+        F.broadcast(enrich.domain_dim(spark).select("domain", "tier")),
+        "domain", "left")
+    return d.groupBy("domain", "tier", "kind").agg(
+        F.count("*").alias("n"))
+
+
+def _domain_tier_case():
+    from log_parser_spark.corpus import _DOMAINS
+    tiers = ["hot", "warm", "mid", "cool", "cold", "tiny"]
+    whens = " ".join(
+        f"WHEN '{d}' THEN '{tiers[min(i, len(tiers) - 1)]}'"
+        for i, (d, _w, _l) in enumerate(_DOMAINS))
+    return f"CASE domain {whens} END"
+
+
+LOG_DOMAIN_ROLLUP_SQL = f"""
+WITH d AS (
+  SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS domain, kind
+  FROM {_R})
+SELECT domain, {_domain_tier_case()} AS tier, kind, count(*) AS n
+FROM d GROUP BY domain, tier, kind
+"""
+
+
 def log_parsed_json_report(spark, sf_dir):
     """S9 exact: reference-shaped get_json report per url (rows-only —
     the nested humanized JSON is not SQL-expressible; parity vs the
@@ -1604,6 +1634,7 @@ ORACLE_SQL = {
     "log_compactions": LOG_COMPACTIONS_SQL,
     "log_stall_totals": LOG_STALL_TOTALS_SQL,
     "log_blob_stats": LOG_BLOB_STATS_SQL,
+    "log_domain_rollup": LOG_DOMAIN_ROLLUP_SQL,
     "log_seek_stats": LOG_SEEK_STATS_SQL,
     "log_filter_effectiveness": LOG_FILTER_EFFECTIVENESS_SQL,
     "log_growth_total": LOG_GROWTH_TOTAL_SQL,
@@ -1657,6 +1688,7 @@ QUERIES = {
     "log_compactions": log_compactions,
     "log_stall_totals": log_stall_totals,
     "log_blob_stats": log_blob_stats,
+    "log_domain_rollup": log_domain_rollup,
     "log_seek_stats": log_seek_stats,
     "log_filter_effectiveness": log_filter_effectiveness,
     "log_growth_total": log_growth_total,
