@@ -22,9 +22,9 @@ Known reference quirks preserved deliberately:
     when i != n (json_outputter.py:82-90 assigns inside the else).
   - get_db_size_bytes_info_at_end only counts cfs present in the LAST
     stats dump (calc_utils.py:52-72).
-Memory reports are not parsed by our engine (no corpus log contains
-them); the section renders "No Memory Reports" like the reference does
-for report-free logs.
+Memory Reporting blocks ARE parsed (document.try_mem_rep) and rendered
+(_mem_rep_section) — the synthetic corpus log exercises them; logs with
+no reports render "No Memory Reports" like the reference.
 """
 
 from __future__ import annotations

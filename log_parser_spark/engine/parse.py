@@ -81,14 +81,30 @@ def _parse_batches(batches) -> "Iterator[pa.RecordBatch]":
         yield _arrow_batch_from_records(buf)
 
 
-def parse_pages(pages: DataFrame, repartition: int | None = None) -> DataFrame:
-    """pages(url, warc_ts, html, text, lang) -> records DataFrame."""
+def parse_pages(pages: DataFrame, repartition: int | None = None,
+                rows_in_acc=None) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) -> records DataFrame.
+
+    rows_in_acc: optional SparkContext accumulator — incremented by the
+    number of input pages as batches stream through, so callers get the
+    input count for free with the parse action instead of paying a
+    separate count() job (task retries could over-count; callers
+    needing an exact number on a flaky cluster should count the source
+    — the pipeline's scale path uses parquet footers instead)."""
     cols = pages.select("url", "text")
     if repartition:
         # spread documents evenly; hot domains are broken up because the
         # hash key is the full url, not the domain
         cols = cols.repartition(repartition, F.xxhash64("url"))
-    return cols.mapInArrow(_parse_batches, schema=RECORDS_SCHEMA)
+    fn = _parse_batches
+    if rows_in_acc is not None:
+        def fn(batches):
+            def counted(bs):
+                for rb in bs:
+                    rows_in_acc.add(rb.num_rows)
+                    yield rb
+            yield from _parse_batches(counted(batches))
+    return cols.mapInArrow(fn, schema=RECORDS_SCHEMA)
 
 
 def parquet_splits(path: str) -> list[tuple[str, int, int]]:

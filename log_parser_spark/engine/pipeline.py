@@ -150,12 +150,17 @@ def run_pipeline(spark: SparkSession, out_dir: str,
         else:
             bucket_col = F.pmod(F.xxhash64("url"), F.lit(n_buckets))
             part = pages.filter(bucket_col == bucket)
-            records_src = parse_pages(part)
-            rows_in = part.count()
+            # input count rides the parse job via an accumulator —
+            # no separate count() scan per bucket
+            rows_acc = spark.sparkContext.accumulator(0)
+            records_src = parse_pages(part, rows_in_acc=rows_acc)
+            rows_in = None
             split_ids = [f"hashbucket-{bucket}"]
 
         rec_path = os.path.join(out_dir, "records", f"bucket={bucket}")
         records_src.write.mode("overwrite").parquet(rec_path)
+        if rows_in is None:
+            rows_in = rows_acc.value
         records = spark.read.parquet(rec_path)
 
         # sinks are independent writes over small routed subsets: submit

@@ -75,10 +75,15 @@ def stateful_flow_pairs_stream(flow_events):
     start/finish flow pairing with state carried ACROSS micro-batches.
 
     Keyed by (url, job_id, cf); the state is the most recent seen start
-    — exactly the batch flow_pairs matching rule (a finish binds to the
-    most recent start of its job/cf; later finishes overwrite).  Each
-    finish emits one pair row incrementally; finishes arriving before
-    any start emit nothing, starts waiting for a finish live in state.
+    — the batch flow_pairs matching rule (a finish binds to the most
+    recent start of its job/cf).  APPEND-MODE DIVERGENCE: batch
+    flow_pairs keeps only the LAST finish per start (max_by finish_seq),
+    but a streaming pair row, once emitted, cannot be retracted — a
+    multi-finish job therefore yields one row per finish here.
+    Downstream consumers wanting batch-identical output should keep
+    max finish_seq per (url, job_id, cf, start_seq).  Each finish emits
+    one pair row incrementally; finishes arriving before any start emit
+    nothing, starts waiting for a finish live in state.
 
     Input rows: (url, job_id, cf, seq, event_type, time_micros) where
     event_type is 'start' or 'finish'.

@@ -62,25 +62,36 @@ def minhash_signatures(df: DataFrame, key: str = "doc_id",
     return sh.groupBy(key).agg(*aggs)
 
 
-def minhash_lsh_pairs(df: DataFrame, key: str = "doc_id",
-                      text_col: str = "text", num_perm: int = 16,
-                      bands: int = 8, k: int = 3,
-                      max_bucket_size: int = 256) -> DataFrame:
-    """LSH banding: signature -> band buckets -> within-bucket self-join.
-    Returns candidate near-duplicate pairs (a < b) with the fraction of
-    matching minhashes (est. Jaccard).
+def _drop_stats(buckets: DataFrame, max_bucket_size: int) -> DataFrame:
+    """Accounting for the bucket cap: one row per DROPPED band bucket
+    (band, bucket, bucket_size).  Lazy — evaluated only if the caller
+    acts on it, so the default pairs path pays nothing extra."""
+    return (buckets.groupBy("bb")
+            .agg(F.count(F.lit(1)).alias("bucket_size"))
+            .filter(F.col("bucket_size") > max_bucket_size)
+            .select(F.col("bb.band").alias("band"),
+                    F.col("bb.bucket").alias("bucket"), "bucket_size"))
 
-    Scale posture (100 TB dup-heavy crawl):
-    - exact duplicates are collapsed to one representative BEFORE
-      signatures.  Identical docs share every band bucket, so leaving
-      them in makes the within-bucket self-join quadratic in the
-      duplicate count; instead each exact-dup member is re-attached as
-      a linear star pair (representative, member, est_jaccard=1.0).
-    - band buckets larger than ``max_bucket_size`` are dropped: they
-      come from degenerate shingle sets (boilerplate) whose pair lists
-      are inherently quadratic.  The cap bounds every within-bucket
-      join at max_bucket_size^2 candidate rows.
-    """
+
+def _cap_buckets(buckets: DataFrame, max_bucket_size: int) -> DataFrame:
+    """Drop mega-buckets before the self-join (count via a
+    partition-only window — one shuffle on the bucket key, which the
+    self-join reuses)."""
+    wb = Window.partitionBy("bb")
+    return (buckets.withColumn("_bsz", F.count(F.lit(1)).over(wb))
+            .filter(F.col("_bsz") <= max_bucket_size).drop("_bsz"))
+
+
+def _minhash_buckets(df: DataFrame, key: str, text_col: str,
+                     num_perm: int, bands: int, k: int
+                     ) -> tuple[DataFrame, DataFrame]:
+    """(exact-dup star pairs, band-bucket rows) for the LSH pipeline.
+
+    Exact duplicates are collapsed to one representative BEFORE
+    signatures: identical docs share every band bucket, so leaving them
+    in makes the within-bucket self-join quadratic in the duplicate
+    count; instead each exact-dup member is re-attached as a linear
+    star pair (representative, member, est_jaccard=1.0)."""
     rows = num_perm // bands
 
     hashed = df.select(key, text_col).withColumn(
@@ -108,12 +119,35 @@ def minhash_lsh_pairs(df: DataFrame, key: str = "doc_id",
         F.explode(F.array(*[F.struct(
             F.lit(b).alias("band"), F.col(f"band_{b}").alias("bucket"))
             for b in range(bands)])).alias("bb"))
-    # cap: drop mega-buckets before the self-join (count via a
-    # partition-only window — one shuffle on the bucket key, which the
-    # self-join below reuses)
-    wb = Window.partitionBy("bb")
-    buckets = (buckets.withColumn("_bsz", F.count(F.lit(1)).over(wb))
-               .filter(F.col("_bsz") <= max_bucket_size).drop("_bsz"))
+    return exact_pairs, buckets
+
+
+def minhash_lsh_pairs(df: DataFrame, key: str = "doc_id",
+                      text_col: str = "text", num_perm: int = 16,
+                      bands: int = 8, k: int = 3,
+                      max_bucket_size: int = 256,
+                      with_drop_stats: bool = False):
+    """LSH banding: signature -> band buckets -> within-bucket self-join.
+    Returns candidate near-duplicate pairs (a < b) with the fraction of
+    matching minhashes (est. Jaccard).
+
+    Scale posture (100 TB dup-heavy crawl):
+    - exact duplicates are collapsed to star pairs BEFORE signatures
+      (see _minhash_buckets).
+    - band buckets larger than ``max_bucket_size`` are dropped: they
+      come from degenerate shingle sets (boilerplate) whose pair lists
+      are inherently quadratic.  The cap bounds every within-bucket
+      join at max_bucket_size^2 candidate rows.
+
+    RECALL CONTRACT: dropping a bucket forfeits every candidate pair
+    that shared ONLY that bucket — at web scale that is exactly the
+    boilerplate-flood mass.  The drop is NOT silent: pass
+    ``with_drop_stats=True`` to also get the accounting DataFrame
+    (band, bucket, bucket_size) of every dropped bucket, and surface it
+    per run (the `lsh_drop_accounting` driver query does)."""
+    exact_pairs, raw_buckets = _minhash_buckets(
+        df, key, text_col, num_perm, bands, k)
+    buckets = _cap_buckets(raw_buckets, max_bucket_size)
 
     # true self-join (both sides the IDENTICAL plan, renamed only after
     # the join) so Spark's ReuseExchange kicks in — otherwise the whole
@@ -131,26 +165,33 @@ def minhash_lsh_pairs(df: DataFrame, key: str = "doc_id",
         lambda v: v == 1)) / F.lit(num_perm)).cast("double")
     lsh_pairs = pairs.select("a", "b",
                              F.round(match_frac, 4).alias("est_jaccard"))
-    return lsh_pairs.unionByName(exact_pairs)
+    out = lsh_pairs.unionByName(exact_pairs)
+    if with_drop_stats:
+        return out, _drop_stats(raw_buckets, max_bucket_size)
+    return out
 
 
-def simhash(df: DataFrame, key: str = "doc_id",
-            text_col: str = "text") -> DataFrame:
-    """SimHash(64): explode tokens, vote per bit, reassemble.  Key-
-    repartitioned first for the same reasons as minhash_signatures."""
-    n_out = df.sparkSession.sparkContext.defaultParallelism
-    toks = (df.select(key, text_col).repartition(n_out, F.col(key))
-            .select(key, F.explode(tokens_col(text_col)).alias("tok")))
-    toks = toks.withColumn("h", F.xxhash64("tok"))
-    votes = toks.select(
-        key, *[(F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1,
-                       1).otherwise(-1)).alias(f"bit_{i}")
-               for i in range(64)])
-    sums = votes.groupBy(key).agg(
-        *[F.sum(f"bit_{i}").alias(f"bit_{i}") for i in range(64)])
+# Packed-vote SimHash: the per-bit +1/-1 vote sum only needs each bit's
+# SET-count c and the token count n (vote sum = 2c - n, bit on iff
+# 2c > n), so per token we pack 4 bit-indicators into each long as
+# 16-bit lanes and SUM 16 packed longs instead of 64 vote columns — 4x
+# narrower partial aggregates / shuffle rows.  Lanes can't carry into
+# each other while every count < 2^16, so packing is EXACT for docs
+# under 65,536 tokens; bigger docs are routed to the unpacked 64-column
+# path (same result, no silent overflow).
+_SIMHASH_LANES = 4          # 16-bit counters per long
+_SIMHASH_LANE_BITS = 16
+_SIMHASH_MAX_PACKED_TOKENS = (1 << _SIMHASH_LANE_BITS) - 1
+
+
+def _simhash_from_counts(sums: DataFrame, key: str,
+                         count_expr) -> DataFrame:
+    """Reassemble the 64-bit simhash from per-bit set-counts.
+    count_expr(i) -> Column of how many tokens had bit i set;
+    column `n_tok` holds the token count."""
     sim = None
     for i in range(64):
-        bit = F.when(F.col(f"bit_{i}") > 0,
+        bit = F.when(count_expr(i) * 2 > F.col("n_tok"),
                      F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = bit * F.lit(1 << i).cast("long") if i < 63 else \
             F.when(bit == 1, F.lit(-(1 << 63)).cast("long")).otherwise(
@@ -159,15 +200,75 @@ def simhash(df: DataFrame, key: str = "doc_id",
     return sums.select(key, sim.alias("simhash"))
 
 
+def _simhash_packed(toks: DataFrame, key: str) -> DataFrame:
+    packed = []
+    for j in range(64 // _SIMHASH_LANES):
+        lane_sum = None
+        for s in range(_SIMHASH_LANES):
+            bit = _SIMHASH_LANES * j + s
+            t = F.shiftleft(
+                F.shiftrightunsigned(F.col("h"), bit).bitwiseAND(F.lit(1)),
+                _SIMHASH_LANE_BITS * s)
+            lane_sum = t if lane_sum is None else lane_sum + t
+        packed.append(lane_sum.alias(f"pk_{j}"))
+    votes = toks.select(key, *packed)
+    sums = votes.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        *[F.sum(f"pk_{j}").alias(f"pk_{j}")
+          for j in range(64 // _SIMHASH_LANES)])
+
+    def count_expr(i):
+        j, s = divmod(i, _SIMHASH_LANES)
+        return F.shiftrightunsigned(
+            F.col(f"pk_{j}"), _SIMHASH_LANE_BITS * s).bitwiseAND(
+            F.lit((1 << _SIMHASH_LANE_BITS) - 1))
+
+    return _simhash_from_counts(sums, key, count_expr)
+
+
+def _simhash_unpacked(toks: DataFrame, key: str) -> DataFrame:
+    votes = toks.select(
+        key, *[(F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)))
+               .alias(f"bit_{i}") for i in range(64)])
+    sums = votes.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        *[F.sum(f"bit_{i}").alias(f"bit_{i}") for i in range(64)])
+    return _simhash_from_counts(sums, key, lambda i: F.col(f"bit_{i}"))
+
+
+def simhash(df: DataFrame, key: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """SimHash(64): explode tokens, vote per bit (packed 16-bit lanes),
+    reassemble.  Key-repartitioned first for the same reasons as
+    minhash_signatures.  Docs with >= 2^16 tokens take the unpacked
+    64-column path so lane overflow can never corrupt a hash."""
+    n_out = df.sparkSession.sparkContext.defaultParallelism
+    base = (df.select(key, text_col).repartition(n_out, F.col(key))
+            .withColumn("_ntok", F.size(tokens_col(text_col))))
+    toks_of = lambda d: (  # noqa: E731
+        d.select(key, F.explode(tokens_col(text_col)).alias("tok"))
+        .withColumn("h", F.xxhash64("tok")))
+    small = _simhash_packed(
+        toks_of(base.filter(F.col("_ntok") <= _SIMHASH_MAX_PACKED_TOKENS)),
+        key)
+    big = _simhash_unpacked(
+        toks_of(base.filter(F.col("_ntok") > _SIMHASH_MAX_PACKED_TOKENS)),
+        key)
+    return small.unionByName(big)
+
+
 def simhash_pairs(df: DataFrame, key: str = "doc_id",
                   text_col: str = "text", max_hamming: int = 3,
-                  max_bucket_size: int = 256) -> DataFrame:
+                  max_bucket_size: int = 256,
+                  with_drop_stats: bool = False):
     """SimHash near-dup pairs via banded Hamming join: split the 64-bit
     simhash into (max_hamming + 1) bands — by pigeonhole, two hashes
     within ``max_hamming`` bits share at least one band EXACTLY — bucket
     on (band, value), self-join within buckets (ReuseExchange like the
     minhash join), then filter by the true bit_count of the XOR.
-    Bucket-capped for the same boilerplate-flood reason as minhash."""
+    Bucket-capped for the same boilerplate-flood reason as minhash, with
+    the SAME recall contract: pass ``with_drop_stats=True`` for the
+    (band, bucket, bucket_size) accounting of every dropped bucket."""
     nb = max_hamming + 1
     width = 64 // nb
     sh = simhash(df, key, text_col)
@@ -179,13 +280,11 @@ def simhash_pairs(df: DataFrame, key: str = "doc_id",
         return F.struct(
             F.lit(i).alias("band"),
             F.shiftrightunsigned("simhash", shift).bitwiseAND(F.lit(mask))
-            .alias("value"))
+            .alias("bucket"))
 
-    buckets = sh.select(key, "simhash", F.explode(F.array(
+    raw_buckets = sh.select(key, "simhash", F.explode(F.array(
         *[band(i) for i in range(nb)])).alias("bb"))
-    wb = Window.partitionBy("bb")
-    buckets = (buckets.withColumn("_bsz", F.count(F.lit(1)).over(wb))
-               .filter(F.col("_bsz") <= max_bucket_size).drop("_bsz"))
+    buckets = _cap_buckets(raw_buckets, max_bucket_size)
 
     x, y = buckets.alias("x"), buckets.alias("y")
     pairs = (x.join(y, F.col("x.bb") == F.col("y.bb"))
@@ -196,9 +295,12 @@ def simhash_pairs(df: DataFrame, key: str = "doc_id",
                      F.col("y.simhash").alias("sh_b"))
              .dropDuplicates(["a", "b"]))
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (pairs.withColumn("hamming", hamming.cast("int"))
-            .filter(F.col("hamming") <= max_hamming)
-            .select("a", "b", "hamming"))
+    out = (pairs.withColumn("hamming", hamming.cast("int"))
+           .filter(F.col("hamming") <= max_hamming)
+           .select("a", "b", "hamming"))
+    if with_drop_stats:
+        return out, _drop_stats(raw_buckets, max_bucket_size)
+    return out
 
 
 def ngram_jaccard(df_pairs: DataFrame, left_text: str, right_text: str,

@@ -75,23 +75,26 @@ def brute_force_topk_arrow(corpus: DataFrame, queries: DataFrame,
     def score(batches):
         import pandas as pd
         for pdf in batches:
-            ids = pdf[key].values
+            ids = np.asarray(pdf[key].values)
             mat = np.array(list(pdf[vec_col].values), dtype=np.float64)
             if len(mat) == 0:
                 continue
             mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
             sims = mat @ q_norm.T  # (batch x q)
-            out = {"query_id": [], "neighbor_id": [], "cosine": []}
             top = min(k + 1, len(ids))  # +1: self-match dropped later
-            for qi in range(len(q_ids)):
-                col = sims[:, qi]
-                cand = np.argpartition(-col, top - 1)[:top] \
-                    if len(col) > top else np.arange(len(col))
-                for ci in cand:
-                    out["query_id"].append(q_ids[qi])
-                    out["neighbor_id"].append(ids[ci])
-                    out["cosine"].append(round(float(col[ci]), 6))
-            yield pd.DataFrame(out)
+            # candidate emission fully vectorized: per-query column
+            # argpartition, then one take_along_axis — no row loop
+            if len(ids) > top:
+                idx = np.argpartition(-sims, top - 1, axis=0)[:top]
+            else:
+                idx = np.tile(np.arange(len(ids))[:, None],
+                              (1, len(q_ids)))
+            cand = np.take_along_axis(sims, idx, axis=0)
+            yield pd.DataFrame({
+                "query_id": np.broadcast_to(q_ids[None, :],
+                                            idx.shape).ravel(),
+                "neighbor_id": ids[idx].ravel(),
+                "cosine": np.round(cand, 6).ravel()})
 
     scored = corpus.select(key, vec_col).repartition(
         corpus.sparkSession.sparkContext.defaultParallelism,
@@ -119,7 +122,9 @@ def _nearest_assignment(corpus, seeds, key, vec_col):
 
 def ivf_assign(corpus: DataFrame, n_centroids: int = 16,
                key: str = "vec_id", vec_col: str = "embedding",
-               n_iters: int = 1) -> tuple[DataFrame, DataFrame]:
+               n_iters: int = 1,
+               refine_sample_rows: int = 1_000_000
+               ) -> tuple[DataFrame, DataFrame]:
     """IVF bucketing: deterministic hash-seeded centroids + ``n_iters``
     Lloyd refinement rounds, all relational.  Returns
     (assignments, centroids).
@@ -129,6 +134,14 @@ def ivf_assign(corpus: DataFrame, n_centroids: int = 16,
     driver side of the exchange).  A global Window.orderBy here would
     funnel the ENTIRE corpus through one task at 100 TB; the window
     below runs only over the n_centroids surviving rows.
+
+    Lloyd refinement runs on a BOUNDED sample: centroid means are
+    statistics, not assignments, so iterating over more than ~1M rows
+    buys nothing — at 100 TB a full-corpus pass per iteration would
+    dominate the whole build.  When the corpus exceeds
+    ``refine_sample_rows``, refinement uses a seeded df.sample of about
+    that many rows; the FINAL assignment is the only full-corpus pass
+    regardless of n_iters.
 
     Each Lloyd round is one broadcast assignment + one posexplode mean
     per (centroid, dim); the recomputed centroid table (n_centroids x
@@ -144,8 +157,15 @@ def ivf_assign(corpus: DataFrame, n_centroids: int = 16,
     seeds = (topn.withColumn("centroid_id", F.row_number().over(w))
              .select("centroid_id", "centroid"))
 
+    refine_src = corpus
+    if n_iters > 0:
+        n = corpus.count()  # one scan (parquet: footer metadata only)
+        if n > refine_sample_rows:
+            refine_src = corpus.sample(
+                fraction=refine_sample_rows / n, seed=42)
+
     for _ in range(max(0, n_iters)):
-        assignments = _nearest_assignment(corpus, seeds, key, vec_col)
+        assignments = _nearest_assignment(refine_src, seeds, key, vec_col)
         means = (assignments
                  .select("centroid_id",
                          F.posexplode(vec_col).alias("dim", "v"))

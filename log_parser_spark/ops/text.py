@@ -49,7 +49,14 @@ def bpe_token_count_col(text: str | Column = "text") -> Column:
 
 def quality_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / digit / uppercase / stopword ratios + a
-    composite quality score, all as codegen-friendly expressions."""
+    composite quality score, all as codegen-friendly expressions.
+
+    The whitespace tokenization is materialized ONCE into an
+    intermediate `_toks` column and every token-derived feature
+    (n_tokens, stopword hits) reads that attribute — Catalyst's
+    CollapseProject keeps a non-cheap expression referenced more than
+    once in its own projection, so the split() runs once per row
+    instead of three times (the r2 doc_quality regression)."""
     t = F.col(text_col)
     n = F.length(t).cast("double")
     punct = F.length(F.regexp_replace(t, r"[^.!?,;:]", "")).cast("double")
@@ -57,19 +64,20 @@ def quality_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
     upper = F.length(F.regexp_replace(t, r"[^A-Z]", "")).cast("double")
     nz = F.when(n > 0, n).otherwise(F.lit(1.0))
     sw_all = sorted({w for ws in STOPWORDS.values() for w in ws})
-    toks_lower = F.transform(tokens_col(text_col), lambda x: F.lower(x))
-    sw_hits = F.size(F.filter(toks_lower, lambda x: x.isin(*sw_all))) \
+    staged = df.withColumn(
+        "_toks", F.transform(tokens_col(text_col), lambda x: F.lower(x)))
+    sw_hits = F.size(F.filter(F.col("_toks"), lambda x: x.isin(*sw_all))) \
         .cast("double")
-    n_tok = token_count_col(text_col).cast("double")
-    return df.withColumns({
+    n_tok = F.size("_toks")
+    return staged.withColumns({
         "n_bytes": F.octet_length(t).cast("long"),
-        "n_tokens": token_count_col(text_col).cast("long"),
+        "n_tokens": n_tok.cast("long"),
         "punct_ratio": F.round(punct / nz, 6),
         "digit_ratio": F.round(digits / nz, 6),
         "upper_ratio": F.round(upper / nz, 6),
         "stopword_ratio": F.round(
-            sw_hits / F.greatest(n_tok, F.lit(1.0)), 6),
-    }).withColumn(
+            sw_hits / F.greatest(n_tok.cast("double"), F.lit(1.0)), 6),
+    }).drop("_toks").withColumn(
         "quality_score",
         F.round(
             F.lit(1.0)

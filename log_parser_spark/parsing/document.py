@@ -219,17 +219,26 @@ class DocumentParser:
     MAX_DOC_BYTES = 1_900_000_000
     # Beyond this, entry segmentation goes lazy (offsets over the raw
     # text instead of a lines list + Entry objects) so peak parse memory
-    # stays ~1x the text; below it the eager path is faster.
+    # stays ~1x the text; below it the eager path is faster.  Compared
+    # against len(text) (chars) — a perf threshold, not a cap, so the
+    # char-count proxy is fine.
     LAZY_DOC_BYTES = 64 * 1024 * 1024
 
     # -- top-level driver -------------------------------------------------
     def _prepare(self) -> dict | None:
         """Segment + emit the job->cf map; returns a quarantine record
         when the document can't be parsed at all."""
-        if len(self.text) > self.MAX_DOC_BYTES:
-            return _rec("quarantine",
-                        attrs={"reason": "oversized_document",
-                               "n_bytes": str(len(self.text))})
+        # MAX_DOC_BYTES is byte-denominated; len(text) counts chars.
+        # chars*4 bounds the utf-8 size, so only docs above MAX/4 chars
+        # need the exact byte count (isascii() dodges the encode for
+        # the common all-ascii giant log).
+        if len(self.text) > self.MAX_DOC_BYTES // 4:
+            n_bytes = len(self.text) if self.text.isascii() else \
+                len(self.text.encode("utf-8", "surrogatepass"))
+            if n_bytes > self.MAX_DOC_BYTES:
+                return _rec("quarantine",
+                            attrs={"reason": "oversized_document",
+                                   "n_bytes": str(n_bytes)})
         first_nl = self.text.find("\n")
         first_line = self.text[:first_nl if first_nl != -1 else None]
         if not self.text:

@@ -321,3 +321,65 @@ def test_salt_spreads_identical_duplicate_rows(spark):
     partials = skew.with_salt(df).groupBy("key", "_salt").count()
     assert partials.count() >= 8  # >1 reducer handles the hot key
     assert skew.salted_count(df, ["key"]).collect()[0]["n"] == 640
+
+
+def test_minhash_drop_accounting(spark):
+    """Capped buckets are NOT silent: with_drop_stats returns one row
+    per dropped (band, bucket) with its size.  100 distinct texts with
+    an IDENTICAL shingle set ('a b c' repeated i times) collide in every
+    band, blow the cap, and must be fully accounted for."""
+    rows = [(i, "a b c " * (i + 1), "en") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    pairs, drops = dedup.minhash_lsh_pairs(
+        df, max_bucket_size=64, with_drop_stats=True)
+    assert pairs.collect() == []          # every candidate was capped away
+    d = drops.collect()
+    assert {r["band"] for r in d} == set(range(8))
+    # doc 0 has a single shingle, so its signature may diverge on some
+    # bands — every band still reports a >=99-member dropped bucket
+    assert all(r["bucket_size"] >= 99 for r in d)
+
+
+def test_simhash_drop_accounting(spark):
+    """Same accounting contract for the banded-Hamming simhash join."""
+    rows = [(i, "a b c " * (i + 1), "en") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    pairs, drops = dedup.simhash_pairs(
+        df, max_hamming=3, max_bucket_size=64, with_drop_stats=True)
+    assert pairs.collect() == []
+    d = drops.collect()
+    assert {r["band"] for r in d} == set(range(4))
+    assert all(r["bucket_size"] == 100 for r in d)
+
+
+def test_simhash_packed_equals_unpacked(spark, docs):
+    """The 16-bit-lane packed vote aggregation is EXACT: it must equal
+    the unpacked 64-column path token for token."""
+    from log_parser_spark.ops.dedup import (_simhash_packed,
+                                            _simhash_unpacked)
+    from log_parser_spark.ops.text import tokens_col
+    toks = (docs.select("doc_id",
+                        F.explode(tokens_col("text")).alias("tok"))
+            .withColumn("h", F.xxhash64("tok")))
+    packed = {r["doc_id"]: r["simhash"]
+              for r in _simhash_packed(toks, "doc_id").collect()}
+    unpacked = {r["doc_id"]: r["simhash"]
+                for r in _simhash_unpacked(toks, "doc_id").collect()}
+    assert packed == unpacked and len(packed) == 6  # doc 7 is empty
+
+
+def test_ivf_refinement_is_sampled(spark):
+    """With a refine cap below the corpus size, Lloyd refinement runs on
+    a sample but the FINAL assignment still covers every vector, and the
+    result is deterministic across runs (seeded sample)."""
+    rows = [(i, [float(i % 7), float(i % 5), 1.0]) for i in range(200)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    a1, c1 = similarity.ivf_assign(emb, n_centroids=4, n_iters=2,
+                                   refine_sample_rows=50)
+    assert a1.count() == 200              # full-corpus final pass
+    a2, c2 = similarity.ivf_assign(emb, n_centroids=4, n_iters=2,
+                                   refine_sample_rows=50)
+    cent = lambda c: sorted(  # noqa: E731
+        (r["centroid_id"], [round(float(x), 9) for x in r["centroid"]])
+        for r in c.collect())
+    assert cent(c1) == cent(c2)
