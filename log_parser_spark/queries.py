@@ -1694,3 +1694,11 @@ QUERIES = {
     "log_growth_total": log_growth_total,
     "log_block_cache": log_block_cache,
 }
+
+# round-3 queries for the previously parity-only operators
+# (S3/S4 grids, A2, A5, A7, A8, A12, A16, A20, P21, S8)
+from log_parser_spark.queries_ext import (  # noqa: E402
+    ORACLE_SQL_EXT, QUERIES_EXT)
+
+QUERIES.update(QUERIES_EXT)
+ORACLE_SQL.update(ORACLE_SQL_EXT)

@@ -1,0 +1,477 @@
+"""Driver queries (round 3) for the operators that previously had only
+pytest parity evidence: the S3/S4 sink grids, the report-embedded
+aggregates A2/A5/A7/A8/A12/A16/A20, the S8 files sink and the P21
+memory-report rollup.  Each entry follows the established pattern: a
+Spark builder over the staged records parquet + a DuckDB oracle SQL
+over the same file, with every aggregate aliased identically on both
+sides.
+
+Reference parity anchors (file:line) are on each builder's docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: F401
+from pyspark.sql import functions as F
+
+from log_parser_spark.datafiles import data_path
+
+_R = f"read_parquet('{data_path('log_records.parquet')}')"
+
+
+def _records(spark):
+    from log_parser_spark.queries import _records as _r
+    return _r(spark)
+
+
+# --------------------------------------------------------- A2: histograms
+
+def log_histograms_last(spark, sf_dir):
+    """A2: last histogram entry per (url, name) (counters.py:254-264)."""
+    from log_parser_spark.engine import aggregates, branches
+    h = aggregates.last_histogram_entry(branches.histograms(_records(spark)))
+    return h.select(
+        "url", "name",
+        F.col("last.p50").alias("p50"), F.col("last.p95").alias("p95"),
+        F.col("last.p99").alias("p99"), F.col("last.p100").alias("p100"),
+        F.col("last.count").alias("n_samples"),
+        F.col("last.sum").alias("total_sum"),
+        F.col("last.average").alias("average"))
+
+
+LOG_HISTOGRAMS_LAST_SQL = f"""
+SELECT url, name,
+  arg_max(CAST(json_extract_string(attrs_json, '$.P50') AS DOUBLE), seq)
+    AS p50,
+  arg_max(CAST(json_extract_string(attrs_json, '$.P95') AS DOUBLE), seq)
+    AS p95,
+  arg_max(CAST(json_extract_string(attrs_json, '$.P99') AS DOUBLE), seq)
+    AS p99,
+  arg_max(CAST(json_extract_string(attrs_json, '$.P100') AS DOUBLE), seq)
+    AS p100,
+  arg_max(CAST(json_extract_string(attrs_json, '$.Count') AS BIGINT), seq)
+    AS n_samples,
+  arg_max(CAST(json_extract_string(attrs_json, '$.Sum') AS BIGINT), seq)
+    AS total_sum,
+  arg_max(CAST(json_extract_string(attrs_json, '$.Average') AS DOUBLE), seq)
+    AS average
+FROM {_R} WHERE kind = 'histogram' GROUP BY url, name
+"""
+
+
+# ----------------------------------------------------- S3/S4: sink grids
+
+def log_counters_grid(spark, sf_dir):
+    """S3: the zero-filled time x non-all-zero-counter grid that backs
+    the counters CSV (csv_outputter.py:25-72)."""
+    from log_parser_spark.engine import branches, sinks
+    return sinks.counters_sink(branches.counters(_records(spark)))
+
+
+LOG_COUNTERS_GRID_SQL = f"""
+WITH c AS (SELECT url, ts, name, value, seq FROM {_R}
+           WHERE kind = 'counter'),
+nz AS (SELECT url, name, min(seq) AS first_seen FROM c
+       GROUP BY url, name HAVING max(value) > 0),
+times AS (SELECT DISTINCT url, ts FROM c),
+vals AS (SELECT url, ts, name, arg_min(value, seq) AS value FROM c
+         GROUP BY url, ts, name)
+SELECT t.url, t.ts, nz.name, coalesce(v.value, 0) AS value, nz.first_seen
+FROM times t JOIN nz ON t.url = nz.url
+LEFT JOIN vals v ON v.url = t.url AND v.ts = t.ts AND v.name = nz.name
+"""
+
+_HIST_GRID_COLS = [
+    ("p50", "P50", "DOUBLE"), ("p95", "P95", "DOUBLE"),
+    ("p99", "P99", "DOUBLE"), ("p100", "P100", "DOUBLE"),
+    ("count", "Count", "BIGINT"), ("sum", "Sum", "BIGINT"),
+    ("average", "Average", "DOUBLE"),
+    ("interval_count", "Interval Count", "BIGINT"),
+    ("interval_sum", "Interval Sum", "BIGINT"),
+]
+
+
+def log_histograms_grid(spark, sf_dir):
+    """S4: the zero-filled time x histogram grid behind the human/tools
+    histogram CSVs (csv_outputter.py:75-195)."""
+    from log_parser_spark.engine import branches, sinks
+    return sinks.histograms_sink(branches.histograms(_records(spark)))
+
+
+_HG_EXTRACT = ",\n".join(
+    f"""         arg_min(CAST(json_extract_string(attrs_json,
+              '$."{j}"') AS {t}), seq) AS "{c}\"""" for c, j, t
+    in _HIST_GRID_COLS)
+_HG_ZERO = ",\n".join(
+    f'       coalesce(v."{c}", 0) AS "{c}"' for c, _j, _t in _HIST_GRID_COLS)
+
+LOG_HISTOGRAMS_GRID_SQL = f"""
+WITH h AS (SELECT url, ts, name, attrs_json, seq FROM {_R}
+           WHERE kind = 'histogram'),
+nz AS (SELECT url, name, min(seq) AS first_seen FROM h
+       GROUP BY url, name
+       HAVING max(CAST(json_extract_string(attrs_json, '$.Count')
+                       AS BIGINT)) > 0),
+times AS (SELECT DISTINCT url, ts FROM h),
+vals AS (SELECT url, ts, name,
+{_HG_EXTRACT},
+         true AS present
+         FROM h GROUP BY url, ts, name)
+SELECT t.url, t.ts, nz.name,
+{_HG_ZERO},
+       coalesce(v.present, false) AS present, nz.first_seen
+FROM times t JOIN nz ON t.url = nz.url
+LEFT JOIN vals v ON v.url = t.url AND v.ts = t.ts AND v.name = nz.name
+"""
+
+
+# -------------------------------------------------------- A5/A8: opers
+
+def log_user_opers(spark, sf_dir):
+    """A5: write/read/seek totals + percentages (calc_utils.py:315-348)."""
+    from log_parser_spark.engine import aggregates, branches
+    return aggregates.user_opers_stats(branches.counters(_records(spark)))
+
+
+LOG_USER_OPERS_SQL = f"""
+WITH last AS (
+  SELECT url, name, arg_max(value, seq) AS v FROM {_R}
+  WHERE kind = 'counter'
+    AND name IN ('rocksdb.number.keys.written', 'rocksdb.number.keys.read',
+                 'rocksdb.number.db.seek')
+  GROUP BY url, name),
+p AS (
+  SELECT url,
+    CAST(coalesce(max(CASE WHEN name = 'rocksdb.number.keys.written'
+                       THEN v END), 0) AS BIGINT) AS num_written,
+    CAST(coalesce(max(CASE WHEN name = 'rocksdb.number.keys.read'
+                       THEN v END), 0) AS BIGINT) AS num_read,
+    CAST(coalesce(max(CASE WHEN name = 'rocksdb.number.db.seek'
+                       THEN v END), 0) AS BIGINT) AS num_seek
+  FROM last GROUP BY url)
+SELECT url, num_written, num_read, num_seek,
+       CAST(num_written + num_read + num_seek AS BIGINT) AS num_total,
+       CAST(round(CASE WHEN num_written + num_read + num_seek > 0
+            THEN 100.0 * num_written / (num_written + num_read + num_seek)
+            ELSE 0.0 END, 6) AS DOUBLE) AS percent_written,
+       CAST(round(CASE WHEN num_written + num_read + num_seek > 0
+            THEN 100.0 * num_read / (num_written + num_read + num_seek)
+            ELSE 0.0 END, 6) AS DOUBLE) AS percent_read,
+       CAST(round(CASE WHEN num_written + num_read + num_seek > 0
+            THEN 100.0 * num_seek / (num_written + num_read + num_seek)
+            ELSE 0.0 END, 6) AS DOUBLE) AS percent_seek
+FROM p
+"""
+
+
+def log_delete_opers(spark, sf_dir):
+    """A8: flushed entries vs deletes per url (calc_utils.py:252-312)."""
+    from log_parser_spark.engine import aggregates, branches
+    return aggregates.delete_opers_stats(branches.events(_records(spark)))
+
+
+LOG_DELETE_OPERS_SQL = f"""
+WITH fs AS (
+  SELECT url,
+    CAST(json_extract_string(payload_json, '$.num_entries') AS BIGINT)
+      AS num_entries,
+    CAST(json_extract_string(payload_json, '$.num_deletes') AS BIGINT)
+      AS num_deletes
+  FROM {_R} WHERE kind = 'event' AND event_type = 'flush_started')
+SELECT url,
+  CAST(sum(num_entries) AS BIGINT) AS total_num_flushed_entries,
+  CAST(sum(num_deletes) AS BIGINT) AS total_num_deletes,
+  CAST(round(CASE WHEN sum(num_entries) > 0
+       THEN 100.0 * sum(num_deletes) / sum(num_entries)
+       ELSE 0.0 END, 6) AS DOUBLE) AS percent_deletes
+FROM fs GROUP BY url
+"""
+
+
+# ------------------------------------------------- A7: table creation
+
+def log_table_creation_stats(spark, sf_dir):
+    """A7: per-cf creation totals (calc_utils.py:217-249)."""
+    from log_parser_spark.engine import aggregates, branches
+    return aggregates.table_creation_stats(branches.events(_records(spark)))
+
+
+LOG_TABLE_CREATION_SQL = f"""
+WITH c AS (
+  SELECT url, cf,
+    CAST(json_extract_string(payload_json,
+         '$.table_properties.num_entries') AS BIGINT) AS num_entries,
+    CAST(json_extract_string(payload_json,
+         '$.table_properties.raw_key_size') AS BIGINT) AS raw_key_size,
+    CAST(json_extract_string(payload_json,
+         '$.table_properties.raw_value_size') AS BIGINT) AS raw_value_size
+  FROM {_R} WHERE kind = 'event' AND event_type = 'table_file_creation')
+SELECT url, cf, count(*) AS num_created,
+  CAST(sum(num_entries) AS BIGINT) AS total_num_entries,
+  CAST(sum(raw_key_size) AS BIGINT) AS total_keys_sizes,
+  CAST(sum(raw_value_size) AS BIGINT) AS total_values_sizes,
+  CAST(round(avg(num_entries), 6) AS DOUBLE) AS avg_num_entries
+FROM c GROUP BY url, cf
+"""
+
+
+# ------------------------------------------------ A12: largest compaction
+
+def log_largest_compaction(spark, sf_dir):
+    """A12: max compaction input size per url (calc_utils.py:677-685)."""
+    from log_parser_spark.engine import aggregates, branches
+    return aggregates.largest_compaction_input(
+        branches.events(_records(spark)))
+
+
+LOG_LARGEST_COMPACTION_SQL = f"""
+SELECT url,
+  max(CAST(json_extract_string(payload_json, '$.input_data_size')
+           AS BIGINT)) AS largest_compaction_size_bytes
+FROM {_R} WHERE kind = 'event' AND event_type = 'compaction_started'
+GROUP BY url
+"""
+
+
+# ------------------------------------------- A16 + S8: file lifecycle
+
+_FILES_CTE = f"""
+fe AS (
+  SELECT url, seq, ts, cf, event_type,
+    CAST(json_extract_string(payload_json, '$.file_number') AS BIGINT)
+      AS file_number,
+    CAST(json_extract_string(payload_json, '$.file_size') AS BIGINT)
+      AS file_size,
+    CAST(json_extract_string(payload_json,
+         '$.table_properties.data_size') AS BIGINT) AS data_size,
+    CAST(json_extract_string(payload_json,
+         '$.table_properties.index_size') AS BIGINT) AS index_size,
+    CAST(json_extract_string(payload_json,
+         '$.table_properties.filter_size') AS BIGINT) AS filter_size,
+    CAST(json_extract_string(payload_json,
+         '$.table_properties.num_entries') AS BIGINT) AS num_entries,
+    json_extract_string(payload_json,
+         '$.table_properties.compression') AS compression
+  FROM {_R} WHERE kind = 'event'
+    AND event_type IN ('table_file_creation', 'table_file_deletion')),
+files AS (
+  SELECT url, file_number,
+    arg_min(CASE WHEN event_type = 'table_file_creation' THEN ts END,
+            CASE WHEN event_type = 'table_file_creation' THEN seq END)
+      AS created_ts,
+    arg_min(CASE WHEN event_type = 'table_file_creation' THEN cf END,
+            CASE WHEN event_type = 'table_file_creation' THEN seq END)
+      AS cf,
+    arg_min(CASE WHEN event_type = 'table_file_creation'
+            THEN file_size END,
+            CASE WHEN event_type = 'table_file_creation' THEN seq END)
+      AS file_size,
+    arg_min(CASE WHEN event_type = 'table_file_creation'
+            THEN data_size END,
+            CASE WHEN event_type = 'table_file_creation' THEN seq END)
+      AS data_size,
+    arg_min(CASE WHEN event_type = 'table_file_creation'
+            THEN index_size END,
+            CASE WHEN event_type = 'table_file_creation' THEN seq END)
+      AS index_size,
+    arg_min(CASE WHEN event_type = 'table_file_creation'
+            THEN filter_size END,
+            CASE WHEN event_type = 'table_file_creation' THEN seq END)
+      AS filter_size,
+    arg_min(CASE WHEN event_type = 'table_file_creation'
+            THEN num_entries END,
+            CASE WHEN event_type = 'table_file_creation' THEN seq END)
+      AS num_entries,
+    arg_min(CASE WHEN event_type = 'table_file_creation'
+            THEN compression END,
+            CASE WHEN event_type = 'table_file_creation' THEN seq END)
+      AS compression,
+    min(CASE WHEN event_type = 'table_file_deletion' THEN ts END)
+      AS deleted_ts,
+    bool_or(event_type = 'table_file_creation') AS created
+  FROM fe GROUP BY url, file_number),
+lifecycle AS (
+  SELECT *, CASE WHEN deleted_ts IS NOT NULL THEN 'Deleted'
+                 ELSE 'Alive' END AS status
+  FROM files WHERE created)
+"""
+
+
+def log_files(spark, sf_dir):
+    """S8: the files sink (creation props + deletion status,
+    csv_outputter.py:431-493) — driver-visible projection."""
+    from log_parser_spark.engine import branches, sinks
+    return sinks.files_sink(branches.events(_records(spark))).select(
+        "url", "file_number", "status", "created_ts", "deleted_ts", "cf",
+        "file_size", "data_size", "index_size", "filter_size",
+        "num_entries", "compression")
+
+
+LOG_FILES_SQL = f"""
+WITH {_FILES_CTE}
+SELECT url, file_number, status, created_ts, deleted_ts, cf, file_size,
+       data_size, index_size, filter_size, num_entries, compression
+FROM lifecycle
+"""
+
+
+def log_live_files(spark, sf_dir):
+    """A16: per-cf live file counts + sizes (calc_utils.py:497-532)."""
+    from log_parser_spark.engine import aggregates, branches
+    return aggregates.live_files_stats(branches.events(_records(spark)))
+
+
+LOG_LIVE_FILES_SQL = f"""
+WITH {_FILES_CTE}
+SELECT url, cf, count(*) AS n_live_files,
+  CAST(sum(data_size) AS BIGINT) AS total_data_size,
+  CAST(sum(index_size) AS BIGINT) AS total_index_size,
+  CAST(sum(filter_size) AS BIGINT) AS total_filter_size
+FROM lifecycle WHERE status = 'Alive' GROUP BY url, cf
+"""
+
+
+def log_running_live_size(spark, sf_dir):
+    """A16/W5: running live size per cf with historical max
+    (db_files.py:51-123)."""
+    from log_parser_spark.engine import aggregates, branches
+    return aggregates.running_live_size(branches.events(_records(spark)))
+
+
+LOG_RUNNING_LIVE_SQL = f"""
+WITH fe AS (
+  SELECT url, seq, cf, event_type,
+    CAST(json_extract_string(payload_json, '$.file_number') AS BIGINT)
+      AS file_number,
+    CAST(json_extract_string(payload_json, '$.file_size') AS BIGINT)
+      AS file_size
+  FROM {_R} WHERE kind = 'event'
+    AND event_type IN ('table_file_creation', 'table_file_deletion')),
+sizes AS (SELECT url, file_number, file_size AS created_size FROM fe
+          WHERE event_type = 'table_file_creation'),
+signed AS (
+  SELECT fe.url, fe.cf, fe.seq,
+         CASE WHEN fe.event_type = 'table_file_creation'
+              THEN coalesce(fe.file_size, 0)
+              ELSE -coalesce(s.created_size, 0) END AS delta
+  FROM fe LEFT JOIN sizes s
+    ON fe.url = s.url AND fe.file_number = s.file_number),
+run AS (
+  SELECT url, cf, seq,
+         CAST(sum(delta) OVER
+              (PARTITION BY url, cf ORDER BY seq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS BIGINT) AS live_size
+  FROM signed)
+SELECT url, cf, arg_max(live_size, seq) AS final_live_size,
+       max(live_size) AS max_live_size
+FROM run GROUP BY url, cf
+"""
+
+
+# ---------------------------------------------- A20: read density
+
+def log_read_density(spark, sf_dir):
+    """A20: per-level read density vs size share
+    (calc_utils.py:866-932)."""
+    from log_parser_spark.engine import aggregates, branches
+    r = _records(spark)
+    return aggregates.read_density_per_level(
+        branches.comp_stats(r), branches.read_latency(r))
+
+
+LOG_READ_DENSITY_SQL = f"""
+WITH rl AS (
+  SELECT url, cf, value AS level, seq,
+    CAST(json_extract_string(attrs_json, '$.count') AS BIGINT) AS cnt
+  FROM {_R} WHERE kind = 'read_latency'),
+last_reads AS (
+  SELECT url, cf, level, arg_max(cnt, seq) AS level_reads
+  FROM rl GROUP BY url, cf, level),
+reads AS (
+  SELECT *, sum(level_reads) OVER (PARTITION BY url, cf) AS cf_reads
+  FROM last_reads),
+cs AS (SELECT url, cf, name, seq,
+         CAST(json_extract_string(attrs_json, '$.size_bytes') AS BIGINT)
+           AS size_bytes
+       FROM {_R} WHERE kind = 'comp_stats'),
+level_sizes AS (
+  SELECT url, cf,
+         CAST(regexp_extract(name, 'LEVEL-(\\d+)', 1) AS BIGINT) AS level,
+         arg_max(size_bytes, seq) AS level_size
+  FROM cs WHERE name LIKE 'LEVEL-%' GROUP BY url, cf, level),
+cf_sizes AS (
+  SELECT url, cf, arg_max(size_bytes, seq) AS cf_size
+  FROM cs WHERE name = 'SUM' GROUP BY url, cf),
+j AS (
+  SELECT r.url, r.cf, r.level, r.level_reads, ls.level_size,
+         (r.level_reads * 1.0 / r.cf_reads)
+         / (ls.level_size * 1.0 / c.cf_size) AS density
+  FROM reads r
+  JOIN level_sizes ls ON r.url = ls.url AND r.cf = ls.cf
+    AND r.level = ls.level
+  JOIN cf_sizes c ON r.url = c.url AND r.cf = c.cf
+  WHERE r.cf_reads > 0 AND c.cf_size > 0 AND ls.level_size > 0)
+SELECT url, cf, level, level_reads, level_size,
+       CAST(round(density, 6) AS DOUBLE) AS density,
+       CAST(round(density / sum(density) OVER (PARTITION BY url, cf), 6)
+            AS DOUBLE) AS weighted_density
+FROM j
+"""
+
+
+# ------------------------------------------------ P21: memory reports
+
+def log_mem_reports(spark, sf_dir):
+    """P21: Memory Reporting rollup — last usage + sample count per
+    (url, section, cf, entity) (mem_rep_parser.py:25-157)."""
+    r = _records(spark).filter(F.col("kind") == "memrep")
+    return (r.select("url", F.col("name").alias("section"), "cf",
+                     F.element_at("attrs", "entity").alias("entity"),
+                     "msg", "seq")
+            .groupBy("url", "section", "cf", "entity")
+            .agg(F.count(F.lit(1)).alias("n_samples"),
+                 F.max_by("msg", "seq").alias("last_usage")))
+
+
+LOG_MEM_REPORTS_SQL = f"""
+SELECT url, name AS section, cf,
+       json_extract_string(attrs_json, '$.entity') AS entity,
+       count(*) AS n_samples,
+       arg_max(msg, seq) AS last_usage
+FROM {_R} WHERE kind = 'memrep'
+GROUP BY url, section, cf, entity
+"""
+
+
+# ------------------------------------------------------------- registry
+
+QUERIES_EXT = {
+    "log_histograms_last": log_histograms_last,
+    "log_counters_grid": log_counters_grid,
+    "log_histograms_grid": log_histograms_grid,
+    "log_user_opers": log_user_opers,
+    "log_delete_opers": log_delete_opers,
+    "log_table_creation_stats": log_table_creation_stats,
+    "log_largest_compaction": log_largest_compaction,
+    "log_files": log_files,
+    "log_live_files": log_live_files,
+    "log_running_live_size": log_running_live_size,
+    "log_read_density": log_read_density,
+    "log_mem_reports": log_mem_reports,
+}
+
+ORACLE_SQL_EXT = {
+    "log_histograms_last": LOG_HISTOGRAMS_LAST_SQL,
+    "log_counters_grid": LOG_COUNTERS_GRID_SQL,
+    "log_histograms_grid": LOG_HISTOGRAMS_GRID_SQL,
+    "log_user_opers": LOG_USER_OPERS_SQL,
+    "log_delete_opers": LOG_DELETE_OPERS_SQL,
+    "log_table_creation_stats": LOG_TABLE_CREATION_SQL,
+    "log_largest_compaction": LOG_LARGEST_COMPACTION_SQL,
+    "log_files": LOG_FILES_SQL,
+    "log_live_files": LOG_LIVE_FILES_SQL,
+    "log_running_live_size": LOG_RUNNING_LIVE_SQL,
+    "log_read_density": LOG_READ_DENSITY_SQL,
+    "log_mem_reports": LOG_MEM_REPORTS_SQL,
+}
