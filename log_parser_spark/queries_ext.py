@@ -444,6 +444,32 @@ GROUP BY url, section, cf, entity
 """
 
 
+# --------------------------------------- LSH drop accounting (no silent caps)
+
+def lsh_drop_accounting(spark, sf_dir):
+    """The bucket-cap recall contract made driver-visible: plant a
+    deterministic boilerplate flood (600 near-identical docs) next to
+    real documents, run MinHash LSH with a small cap, and return the
+    per-band dropped-bucket/dropped-row accounting that
+    with_drop_stats=True exposes.  At 100 TB this is the side output a
+    dedup run must publish so capped recall is observable, never
+    silent."""
+    from log_parser_spark.ops import dedup
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.col("doc_id") < 50).select("doc_id", "text"))
+    flood = spark.range(600).select(
+        (F.col("id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("the same boilerplate page content repeated "
+                       "everywhere across the crawl "),
+                 F.col("id").cast("string")).alias("text"))
+    corpus = docs.unionByName(flood)
+    _pairs, drops = dedup.minhash_lsh_pairs(
+        corpus, max_bucket_size=64, with_drop_stats=True)
+    return (drops.groupBy("band")
+            .agg(F.count(F.lit(1)).alias("n_dropped_buckets"),
+                 F.sum("bucket_size").alias("n_dropped_rows")))
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES_EXT = {
@@ -459,6 +485,7 @@ QUERIES_EXT = {
     "log_running_live_size": log_running_live_size,
     "log_read_density": log_read_density,
     "log_mem_reports": log_mem_reports,
+    "lsh_drop_accounting": lsh_drop_accounting,
 }
 
 ORACLE_SQL_EXT = {
@@ -475,3 +502,32 @@ ORACLE_SQL_EXT = {
     "log_read_density": LOG_READ_DENSITY_SQL,
     "log_mem_reports": LOG_MEM_REPORTS_SQL,
 }
+
+# -------------------------------------------- golden-parquet oracles
+#
+# The hash/LSH/ANN queries and the nested JSON report are deterministic
+# (seeded corpus, xxhash64/md5 hashing, seeded sampling) but not
+# recomputable in DuckDB SQL.  Their oracle is a GOLDEN PARQUET staged
+# at sf0.01 — the scale the driver runs the correctness gate at — by
+# tools/stage_golden.py; tests/test_golden_artifacts.py re-runs each
+# query live and pins golden == live, so a parser/op change that moves
+# any output forces a restage (same contract as log_records.parquet).
+# log_parsed_json_report additionally has byte parity vs the REFERENCE
+# renderer in tests/test_json_parity.py, so its golden transitively
+# carries reference semantics.
+
+GOLDEN_QUERIES = [
+    "doc_fingerprints",
+    "minhash_pairs",
+    "simhash_docs",
+    "simhash_near_pairs",
+    "embedding_ann_ivf",
+    "embedding_cosine_dedup",
+    "lsh_drop_accounting",
+    "log_parsed_json_report",
+]
+
+for _name in GOLDEN_QUERIES:
+    ORACLE_SQL_EXT[_name] = (
+        "SELECT * FROM read_parquet("
+        f"'{data_path('golden', _name + '.parquet')}')")
