@@ -24,10 +24,13 @@ def counters_sink(counters: DataFrame) -> DataFrame:
                .agg(F.max("value").alias("mx"), F.min("seq").alias("first_seen"))
                .filter(F.col("mx") > 0)
                .select("url", "name", "first_seen"))
-    times = counters.select("url", "ts").distinct()
-    grid = times.join(nonzero, "url")
     vals = counters.groupBy("url", "ts", "name").agg(
         F.min_by("value", "seq").alias("value"))
+    # the time axis is derived from vals, not a third scan of the
+    # branch: every (url, ts) present in the raw rows survives the
+    # (url, ts, name) aggregate, so the axes are identical
+    times = vals.select("url", "ts").distinct()
+    grid = times.join(nonzero, "url")
     return (grid.join(vals, ["url", "ts", "name"], "left")
             .na.fill({"value": 0})
             .select("url", "ts", "name", "value", "first_seen"))
@@ -46,11 +49,13 @@ def histograms_sink(histograms: DataFrame) -> DataFrame:
                .agg(F.max("count").alias("mx"), F.min("seq").alias("first_seen"))
                .filter(F.col("mx") > 0)
                .select("url", "name", "first_seen"))
-    times = histograms.select("url", "ts").distinct()
-    grid = times.join(nonzero, "url")
     vals = histograms.groupBy("url", "ts", "name").agg(
         *[F.min_by(c, "seq").alias(c) for c in _HIST_COLS],
         F.lit(True).alias("present"))
+    # time axis from vals — same axis, one fewer branch scan (see
+    # counters_sink)
+    times = vals.select("url", "ts").distinct()
+    grid = times.join(nonzero, "url")
     out = grid.join(vals, ["url", "ts", "name"], "left")
     return out.na.fill({c: 0 for c in _HIST_COLS}).na.fill(
         {"present": False}).select(
