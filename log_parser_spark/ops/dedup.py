@@ -173,15 +173,18 @@ def minhash_lsh_pairs(df: DataFrame, key: str = "doc_id",
 
 # Packed-vote SimHash: the per-bit +1/-1 vote sum only needs each bit's
 # SET-count c and the token count n (vote sum = 2c - n, bit on iff
-# 2c > n), so per token we pack 4 bit-indicators into each long as
-# 16-bit lanes and SUM 16 packed longs instead of 64 vote columns — 4x
-# narrower partial aggregates / shuffle rows.  Lanes can't carry into
-# each other while every count < 2^16, so packing is EXACT for docs
-# under 65,536 tokens; bigger docs are routed to the unpacked 64-column
-# path (same result, no silent overflow).
-_SIMHASH_LANES = 4          # 16-bit counters per long
-_SIMHASH_LANE_BITS = 16
-_SIMHASH_MAX_PACKED_TOKENS = (1 << _SIMHASH_LANE_BITS) - 1
+# 2c > n), so per token we pack 2 bit-indicators into each long as
+# 32-bit lanes and SUM 32 packed longs instead of 64 vote columns — 2x
+# narrower partial aggregates / shuffle rows, and ONE codegen branch
+# (an earlier 16-bit variant union'd with an unpacked fallback compiled
+# two full agg plans and lost more to compile time than it saved).
+# Lanes can't carry into each other while every count < 2^32, and no
+# ingestible document can reach 2^32 tokens: the parser's
+# MAX_DOC_BYTES cap (1.9e9, the Arrow utf-8 cell ceiling,
+# parsing/document.py) bounds tokens at < 2^31 — packing is
+# unconditionally exact.
+_SIMHASH_LANES = 2          # 32-bit counters per long
+_SIMHASH_LANE_BITS = 32
 
 
 def _simhash_from_counts(sums: DataFrame, key: str,
@@ -238,23 +241,15 @@ def _simhash_unpacked(toks: DataFrame, key: str) -> DataFrame:
 
 def simhash(df: DataFrame, key: str = "doc_id",
             text_col: str = "text") -> DataFrame:
-    """SimHash(64): explode tokens, vote per bit (packed 16-bit lanes),
-    reassemble.  Key-repartitioned first for the same reasons as
-    minhash_signatures.  Docs with >= 2^16 tokens take the unpacked
-    64-column path so lane overflow can never corrupt a hash."""
+    """SimHash(64): explode tokens, vote per bit (packed 32-bit lanes —
+    unconditionally exact, see the packing note above), reassemble.
+    Key-repartitioned first for the same reasons as
+    minhash_signatures."""
     n_out = df.sparkSession.sparkContext.defaultParallelism
-    base = (df.select(key, text_col).repartition(n_out, F.col(key))
-            .withColumn("_ntok", F.size(tokens_col(text_col))))
-    toks_of = lambda d: (  # noqa: E731
-        d.select(key, F.explode(tokens_col(text_col)).alias("tok"))
-        .withColumn("h", F.xxhash64("tok")))
-    small = _simhash_packed(
-        toks_of(base.filter(F.col("_ntok") <= _SIMHASH_MAX_PACKED_TOKENS)),
-        key)
-    big = _simhash_unpacked(
-        toks_of(base.filter(F.col("_ntok") > _SIMHASH_MAX_PACKED_TOKENS)),
-        key)
-    return small.unionByName(big)
+    toks = (df.select(key, text_col).repartition(n_out, F.col(key))
+            .select(key, F.explode(tokens_col(text_col)).alias("tok"))
+            .withColumn("h", F.xxhash64("tok")))
+    return _simhash_packed(toks, key)
 
 
 def simhash_pairs(df: DataFrame, key: str = "doc_id",
