@@ -383,3 +383,30 @@ def test_ivf_refinement_is_sampled(spark):
         (r["centroid_id"], [round(float(x), 9) for x in r["centroid"]])
         for r in c.collect())
     assert cent(c1) == cent(c2)
+
+
+def test_simhash_packed_exact_on_random_corpus(spark):
+    """Packed 32-bit-lane votes == unpacked votes on a seeded random
+    corpus with unicode, repeated tokens, long docs and odd whitespace
+    (the fixture test only covers 6 tiny docs)."""
+    import random
+    from log_parser_spark.ops.dedup import (_simhash_packed,
+                                            _simhash_unpacked)
+    from log_parser_spark.ops.text import tokens_col
+    rng = random.Random(7)
+    vocab = (["the", "cat", "Straße", "naïve", "0", "x" * 50, "日本語"]
+             + [f"tok{i}" for i in range(40)])
+    rows = []
+    for i in range(200):
+        n = rng.choice([1, 2, 3, 10, 100, 1000])
+        ws = rng.choice([" ", "  ", "\t", " \n "])
+        rows.append((i, ws.join(rng.choice(vocab) for _ in range(n))))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    toks = (df.select("doc_id",
+                      F.explode(tokens_col("text")).alias("tok"))
+            .withColumn("h", F.xxhash64("tok")))
+    packed = {r["doc_id"]: r["simhash"]
+              for r in _simhash_packed(toks, "doc_id").collect()}
+    unpacked = {r["doc_id"]: r["simhash"]
+                for r in _simhash_unpacked(toks, "doc_id").collect()}
+    assert packed == unpacked and len(packed) == 200
