@@ -65,6 +65,27 @@ def watermarked_event_window_counts(events_stream, window: str = "1 minute",
             .agg(F.count("*").alias("n")))
 
 
+def streaming_exact_dedup(docs_stream, ts_col: str = "ingest_ts",
+                          watermark: str = "10 minutes",
+                          text_col: str = "text"):
+    """Streaming exact dedup for a continuously-ingesting document
+    stream (the training-data-pipeline stream op): keep the first
+    arrival of each content hash, drop replays.
+
+    State is BOUNDED by the watermark — dropDuplicatesWithinWatermark
+    keeps one state row per distinct hash only until the watermark
+    passes its event time, so a forever-running crawl ingest can't
+    accumulate unbounded dedup state (a plain dropDuplicates would).
+    Duplicates separated by more than the watermark horizon are NOT
+    caught here by design; cross-horizon dedup belongs to the batch
+    `ops.dedup.exact_dedup` compaction pass."""
+    from pyspark.sql import functions as F
+
+    hashed = docs_stream.withColumn("content_hash", F.md5(F.col(text_col)))
+    return (hashed.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["content_hash"]))
+
+
 _PAIR_OUT_SCHEMA = ("url string, job_id long, cf string, "
                     "start_seq long, finish_seq long, duration_ms long")
 _PAIR_STATE_SCHEMA = "start_seq long, start_micros long"

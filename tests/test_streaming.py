@@ -95,3 +95,44 @@ def test_stateful_flow_pairs_across_batches(spark, tmp_path):
     # the batch boundary; job 9's finish had no start -> no row
     assert got == {(7, "default"): (2, 10, 3000),
                    (8, "cfa"): (3, 11, 6000)}
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """Watermark-bounded streaming dedup: replays of the same content
+    within the horizon are dropped ACROSS micro-batches; first arrival
+    wins."""
+    import datetime as dt
+
+    from log_parser_spark.engine.streaming import streaming_exact_dedup
+
+    src = str(tmp_path / "docs")
+    base = dt.datetime(2023, 1, 1, 10, 0, 0)
+    rows = [
+        (1, "alpha doc", base),
+        (2, "beta doc", base + dt.timedelta(seconds=5)),
+        (3, "alpha doc", base + dt.timedelta(seconds=30)),   # replay
+        (4, "gamma doc", base + dt.timedelta(seconds=40)),
+        (5, "beta doc", base + dt.timedelta(seconds=50)),    # replay
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, ingest_ts timestamp")
+    # two files -> the file stream delivers multiple micro-batches with
+    # maxFilesPerTrigger=1, so dedup state must carry across batches
+    df.filter("doc_id <= 2").coalesce(1).write.mode("overwrite").parquet(src)
+    df.filter("doc_id > 2").coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream
+              .schema("doc_id long, text string, ingest_ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = streaming_exact_dedup(stream, ts_col="ingest_ts",
+                                watermark="10 minutes")
+    q = (out.writeStream.format("memory").queryName("dedupstream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = {r["doc_id"] for r in
+           spark.sql("select doc_id from dedupstream").collect()}
+    assert 1 in got or 3 in got          # exactly one 'alpha doc'
+    assert not ({1, 3} <= got)
+    assert 2 in got or 5 in got          # exactly one 'beta doc'
+    assert not ({2, 5} <= got)
+    assert 4 in got                      # unique doc survives
