@@ -278,7 +278,19 @@ def synthetic_stats_log() -> str:
                         lvl=lvl, files=files, size=size, score=0.5,
                         wamp=wamp, comp_sec="0.50")
                     for lvl, files, size, wamp in rows) + "\n"
-                for cf, rows in cfs)
+                # per-cf no-file stats (P17): Uptime starts the section,
+                # the Stalls(count) line carries the per-reason counts —
+                # same shape as LOG_sample:118-125
+                f"Uptime(secs): {sec}.0 total, {sec}.0 interval\n"
+                f"Stalls(count): {ci + 1} level0_slowdown, "
+                "0 level0_slowdown_with_compaction, "
+                f"{sec // 100} level0_numfiles, "
+                "0 level0_numfiles_with_compaction, "
+                "0 stop for pending_compaction_bytes, "
+                "0 slowdown for pending_compaction_bytes, "
+                f"{2 * ci} memtable_compaction, 0 memtable_slowdown, "
+                f"interval {ci + 1 + sec // 100 + 2 * ci} total count\n"
+                for ci, (cf, rows) in enumerate(cfs))
             + "\nBlock cache LRUCache@0x7f00000000aa#777 capacity: 8.00 MB "
             "collections: 1 last_copies: 0 last_secs: 1.3e-05 "
             "secs_since: 0\n"

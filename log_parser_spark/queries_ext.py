@@ -444,6 +444,120 @@ GROUP BY url, section, cf, entity
 """
 
 
+# ------------------------------- P16/P17/P22/J1 + observability channels
+
+def log_cumulative_writes(spark, sf_dir):
+    """P16 (writes half): last cumulative-writes sample + peak ingest
+    rate per url (stats_mngr.py:129-160)."""
+    from log_parser_spark.engine import branches
+    w = branches.cumulative_writes(_records(spark))
+    return w.groupBy("url").agg(
+        F.max_by("num_writes", "seq").alias("last_num_writes"),
+        F.max_by("num_keys", "seq").alias("last_num_keys"),
+        F.max_by("ingest", "seq").alias("last_ingest_bytes"),
+        F.round(F.max("ingest_rate_mbps"), 6).alias("max_ingest_rate_mbps"),
+        F.count(F.lit(1)).alias("n_samples"))
+
+
+LOG_CUMULATIVE_WRITES_SQL = f"""
+SELECT url,
+  arg_max(CAST(json_extract_string(attrs_json, '$.num_writes') AS BIGINT),
+          seq) AS last_num_writes,
+  arg_max(CAST(json_extract_string(attrs_json, '$.num_keys') AS BIGINT),
+          seq) AS last_num_keys,
+  arg_max(CAST(json_extract_string(attrs_json, '$.ingest') AS BIGINT),
+          seq) AS last_ingest_bytes,
+  CAST(round(max(CAST(json_extract_string(attrs_json,
+       '$.ingest_rate_mbps') AS DOUBLE)), 6) AS DOUBLE)
+    AS max_ingest_rate_mbps,
+  count(*) AS n_samples
+FROM {_R} WHERE kind = 'cumulative_writes' GROUP BY url
+"""
+
+
+def log_cf_stalls(spark, sf_dir):
+    """P17: per-cf stall counts — last sample per reason + total
+    (stats_mngr.py:608-652 CfNoFileStatsMngr)."""
+    from log_parser_spark.engine import branches
+    s = branches.cf_stalls(_records(spark))
+    return s.groupBy("url", "cf", "reason").agg(
+        F.max_by("count", "seq").alias("last_count"),
+        F.sum("count").alias("total_count"),
+        F.count(F.lit(1)).alias("n_samples"))
+
+
+LOG_CF_STALLS_SQL = f"""
+SELECT url, cf, name AS reason,
+       arg_max(value, seq) AS last_count,
+       CAST(sum(value) AS BIGINT) AS total_count,
+       count(*) AS n_samples
+FROM {_R} WHERE kind = 'cf_stalls' GROUP BY url, cf, reason
+"""
+
+
+def log_cf_lifetime(spark, sf_dir):
+    """P22: cf create/recover/drop lifecycle events per (url, cf)
+    (cfs_infos.py lifecycle tracking)."""
+    r = _records(spark).filter(F.col("kind") == "cf_lifetime")
+    return (r.select("url", "cf", F.col("name").alias("action"),
+                     F.element_at("attrs", "cf_id").cast("long")
+                     .alias("cf_id"), "seq")
+            .groupBy("url", "cf", "action")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("cf_id").alias("min_cf_id")))
+
+
+LOG_CF_LIFETIME_SQL = f"""
+SELECT url, cf, name AS action, count(*) AS n,
+       min(CAST(json_extract_string(attrs_json, '$.cf_id') AS BIGINT))
+         AS min_cf_id
+FROM {_R} WHERE kind = 'cf_lifetime' GROUP BY url, cf, action
+"""
+
+
+def log_job_cf(spark, sf_dir):
+    """J1: the job->cf map rolled up — jobs per (url, cf)
+    (log_file.py:256-269)."""
+    from log_parser_spark.engine import joins
+    m = joins.job_cf_map(_records(spark))
+    return m.groupBy("url", "job_cf").agg(
+        F.count(F.lit(1)).alias("n_jobs"),
+        F.min("job_id").alias("min_job_id"),
+        F.max("job_id").alias("max_job_id"))
+
+
+LOG_JOB_CF_SQL = f"""
+WITH m AS (
+  SELECT url, job_id, arg_min(cf, seq) AS job_cf
+  FROM {_R} WHERE kind = 'job_cf' GROUP BY url, job_id)
+SELECT url, job_cf, count(*) AS n_jobs,
+       min(job_id) AS min_job_id, max(job_id) AS max_job_id
+FROM m GROUP BY url, job_cf
+"""
+
+
+def log_quarantine_stats(spark, sf_dir):
+    """Quarantine/unparsed observability: rejected-line accounting per
+    (url, channel, reason) — the 'nothing is silently dropped'
+    invariant made queryable."""
+    r = _records(spark).filter(F.col("kind").isin("quarantine", "unparsed"))
+    return (r.select("url", F.col("kind").alias("channel"),
+                     F.coalesce(F.element_at("attrs", "reason"),
+                                F.lit("unparsed_line")).alias("reason"))
+            .groupBy("url", "channel", "reason")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+LOG_QUARANTINE_SQL = f"""
+SELECT url, kind AS channel,
+       coalesce(json_extract_string(attrs_json, '$.reason'),
+                'unparsed_line') AS reason,
+       count(*) AS n
+FROM {_R} WHERE kind IN ('quarantine', 'unparsed')
+GROUP BY url, channel, reason
+"""
+
+
 # --------------------------------------- LSH drop accounting (no silent caps)
 
 def lsh_drop_accounting(spark, sf_dir):
@@ -485,6 +599,11 @@ QUERIES_EXT = {
     "log_running_live_size": log_running_live_size,
     "log_read_density": log_read_density,
     "log_mem_reports": log_mem_reports,
+    "log_cumulative_writes": log_cumulative_writes,
+    "log_cf_stalls": log_cf_stalls,
+    "log_cf_lifetime": log_cf_lifetime,
+    "log_job_cf": log_job_cf,
+    "log_quarantine_stats": log_quarantine_stats,
     "lsh_drop_accounting": lsh_drop_accounting,
 }
 
@@ -501,6 +620,11 @@ ORACLE_SQL_EXT = {
     "log_running_live_size": LOG_RUNNING_LIVE_SQL,
     "log_read_density": LOG_READ_DENSITY_SQL,
     "log_mem_reports": LOG_MEM_REPORTS_SQL,
+    "log_cumulative_writes": LOG_CUMULATIVE_WRITES_SQL,
+    "log_cf_stalls": LOG_CF_STALLS_SQL,
+    "log_cf_lifetime": LOG_CF_LIFETIME_SQL,
+    "log_job_cf": LOG_JOB_CF_SQL,
+    "log_quarantine_stats": LOG_QUARANTINE_SQL,
 }
 
 # -------------------------------------------- golden-parquet oracles

@@ -169,6 +169,18 @@ def test_stats_match_reference(reference, name):
             else:
                 assert float(v) == float(m[k]), (t, k)
 
+    # P17: per-cf stall counts == CfNoFileStatsMngr (reasons incl.
+    # zeros on kept lines; all-zero lines suppressed by both)
+    ref_cf = []
+    for cf, times in sm.get_cf_no_file_stats_mngr() \
+            .get_stall_counts().items():
+        for t, reasons in times.items():
+            for reason, count in reasons.items():
+                ref_cf.append((t, cf, reason, count))
+    mine_cf = [(r["ts"], r["cf"], r["name"], r["value"])
+               for r in recs if r["kind"] == "cf_stalls"]
+    assert sorted(ref_cf) == sorted(mine_cf)
+
 
 @pytest.mark.parametrize("name", SAMPLE_LOGS)
 def test_warnings_match_reference(reference, name):
