@@ -1,0 +1,128 @@
+"""Physical-plan regression tests (PLANS.md executable): the properties
+that make the engine scale must survive refactors —
+predicate pushdown into parquet scans, column pruning, broadcast joins
+for dims, exchange reuse in LSH self-joins, and the absence of
+cartesian products / global single-partition windows in hot paths.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def records(spark):
+    from log_parser_spark.queries import _records
+    return _records(spark)
+
+
+@pytest.fixture()
+def noaqe(spark):
+    """Plan strings with AQE disabled show static ReusedExchange nodes;
+    with AQE on, the same reuse happens at runtime stage level but is
+    invisible in the pre-execution string.  AQE is a runtime-settable
+    conf, so toggle it on the shared session and restore."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    yield spark
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_branch_scans_push_kind_filter(records):
+    from log_parser_spark.engine import branches
+    for name, fn in [("counters", branches.counters),
+                     ("histograms", branches.histograms),
+                     ("events", branches.events),
+                     ("options", branches.options)]:
+        p = plan(fn(records))
+        assert "PushedFilters: [IsNotNull(kind), EqualTo(kind," in p, name
+
+
+def test_branch_scans_prune_columns(records):
+    from log_parser_spark.engine import branches
+    p = plan(branches.counters(records))
+    # counters never reads the heavy columns
+    for heavy in ["attrs_json", "payload_json", "msg"]:
+        assert heavy not in p.split("ReadSchema")[-1], heavy
+
+
+def test_parse_input_prunes_to_url_text(spark, tmp_path):
+    from log_parser_spark.corpus import build_pages_df
+    from log_parser_spark.engine.parse import parse_pages
+    src = str(tmp_path / "pages")
+    build_pages_df(spark, 4).write.mode("overwrite").parquet(src)
+    p = plan(parse_pages(spark.read.parquet(src)))
+    scan = p.split("FileScan")[-1]
+    assert "url" in scan and "text" in scan
+    assert "html" not in scan  # the binary column never leaves the scan
+
+
+def test_dim_joins_broadcast_not_shuffle(spark, records):
+    from log_parser_spark.engine import enrich
+    r = records.select("url", "kind")
+    d = enrich.with_domain(r).join(
+        F.broadcast(enrich.domain_dim(spark).select("domain", "tier")),
+        "domain", "left")
+    p = plan(d)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_lsh_self_joins_reuse_exchange(noaqe):
+    from log_parser_spark.ops import dedup
+    df = noaqe.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p1 = plan(dedup.minhash_lsh_pairs(df))
+    assert "ReusedExchange" in p1
+    p2 = plan(dedup.simhash_pairs(df))
+    assert "ReusedExchange" in p2
+    # the shingle/minhash pipeline must not be duplicated: at most one
+    # non-reused aggregate over the exploded shingles
+    assert p1.count("CartesianProduct") == 0
+    assert p2.count("CartesianProduct") == 0
+
+
+def test_ivf_seed_selection_no_global_shuffle(spark):
+    """Covered in test_ops for TakeOrdered; here assert the ANN search
+    itself has no cartesian product (probe join is a hash join) and the
+    corpus-side window is keyed, not global."""
+    from log_parser_spark.ops import similarity
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    p = plan(similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 3), k=3))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_grid_sinks_axis_agg_collapses(records):
+    """S3/S4 grids: the time axis is written as a projection of the
+    vals aggregate; Catalyst collapses distinct-over-aggregate into a
+    direct (url, ts) aggregate on the scan — the axis never pays the
+    min_by value computation, and the whole sink stays at three scans
+    of the branch with broadcast joins only."""
+    from log_parser_spark.engine import branches, sinks
+    p = plan(sinks.counters_sink(branches.counters(records)))
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastExchange") == 2
+    # axis side collapsed: an exchange keyed (url, ts) exists, proving
+    # the distinct was rewritten to an aggregate, not evaluated over
+    # the vals min_by output
+    assert "hashpartitioning(url" in p
+
+
+def test_quality_tokenizes_once(spark):
+    from log_parser_spark.ops import text
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    q = text.quality_columns(df).select(
+        "doc_id", "n_tokens", "stopword_ratio", "quality_score")
+    assert plan(q).count("split(") == 1
+
+
+def test_simhash_single_codegen_branch(spark):
+    from log_parser_spark.ops import dedup
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = plan(dedup.simhash(df))
+    assert "Union" not in p          # one path, no per-width branching
+    assert p.count("Exchange") <= 3  # repartition + agg, nothing extra
