@@ -83,3 +83,23 @@ def test_cli_console_short_matches_renderer(cli_run, capsys, spark):
             os.path.abspath(log_path), parse_document(f.read()))
     assert direct in out
     assert f"Log file: file://{os.path.abspath(log_path)}" in out
+
+
+def test_cli_directory_mode(spark, tmp_path):
+    """A directory of logs fans out: one sub-folder per document."""
+    import shutil
+
+    from log_parser_spark.__main__ import main
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    shutil.copy("/root/reference/test/input_files/LOG_sample",
+                str(logs / "LOG_a"))
+    shutil.copy("/root/reference/test/input_files/Rolled_LOG_sample.txt",
+                str(logs / "LOG_b"))
+    parent = str(tmp_path / "out")
+    run_dir = main([str(logs), "-j", "-o", parent, "--cores", "4"])
+    subs = sorted(os.listdir(run_dir))
+    assert subs == ["LOG_a", "LOG_b"]
+    for s in subs:
+        assert os.path.exists(os.path.join(run_dir, s, "log.json"))
+        assert os.path.exists(os.path.join(run_dir, s, "counters.csv"))
