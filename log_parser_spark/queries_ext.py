@@ -558,6 +558,61 @@ GROUP BY url, channel, reason
 """
 
 
+# ------------------------------------------------ crawl URL canonicalization
+
+def url_canonical_dedup(spark, sf_dir):
+    """Crawl URL dedup (ops/web.py): plant 3 deterministic variants of
+    every corpus url (fragment, empty query, explicit :443) and group
+    by the canonical form — each canonical must collapse its 4 spellings
+    with the raw original as representative."""
+    from log_parser_spark.ops import web
+    urls = _records(spark).select("url").distinct()
+    v = urls.select(F.explode(F.array(
+        F.col("url"),
+        F.concat("url", F.lit("#fragment")),
+        F.concat("url", F.lit("?")),
+        F.regexp_replace("url", r"^https://([^/]+)", "https://$1:443"),
+    )).alias("url"))
+    return web.url_dedup(v)
+
+
+_URL_RE_SQL = (r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/:?#]+)(?::(\d+))?"
+               r"([^?#]*)(?:\?([^#]*))?(?:#.*)?$")
+
+
+def _sql_url_part(i):
+    return f"regexp_extract(url, '{_URL_RE_SQL}', {i})"
+
+
+_SQL_CANONICAL = f"""CASE WHEN {_sql_url_part(2)} = '' THEN url ELSE
+  lower({_sql_url_part(1)}) || '://' || lower({_sql_url_part(2)})
+  || CASE WHEN {_sql_url_part(3)} = ''
+            OR (lower({_sql_url_part(1)}) = 'http'
+                AND {_sql_url_part(3)} = '80')
+            OR (lower({_sql_url_part(1)}) = 'https'
+                AND {_sql_url_part(3)} = '443')
+          THEN '' ELSE ':' || {_sql_url_part(3)} END
+  || CASE WHEN {_sql_url_part(4)} = '' THEN '/'
+          ELSE {_sql_url_part(4)} END
+  || CASE WHEN {_sql_url_part(5)} = '' THEN ''
+          ELSE '?' || {_sql_url_part(5)} END
+END"""
+
+URL_CANONICAL_SQL = f"""
+WITH u AS (SELECT DISTINCT url FROM {_R}),
+v AS (
+  SELECT url FROM u
+  UNION ALL SELECT url || '#fragment' FROM u
+  UNION ALL SELECT url || '?' FROM u
+  UNION ALL SELECT regexp_replace(url, '^https://([^/]+)',
+                                  'https://\\1:443') FROM u),
+c AS (SELECT {_SQL_CANONICAL} AS canonical_url, url FROM v)
+SELECT canonical_url, min(url) AS representative,
+       count(*) AS n_variants
+FROM c GROUP BY canonical_url
+"""
+
+
 # --------------------------------------- LSH drop accounting (no silent caps)
 
 def lsh_drop_accounting(spark, sf_dir):
@@ -604,6 +659,7 @@ QUERIES_EXT = {
     "log_cf_lifetime": log_cf_lifetime,
     "log_job_cf": log_job_cf,
     "log_quarantine_stats": log_quarantine_stats,
+    "url_canonical_dedup": url_canonical_dedup,
     "lsh_drop_accounting": lsh_drop_accounting,
 }
 
@@ -625,6 +681,7 @@ ORACLE_SQL_EXT = {
     "log_cf_lifetime": LOG_CF_LIFETIME_SQL,
     "log_job_cf": LOG_JOB_CF_SQL,
     "log_quarantine_stats": LOG_QUARANTINE_SQL,
+    "url_canonical_dedup": URL_CANONICAL_SQL,
 }
 
 # -------------------------------------------- golden-parquet oracles

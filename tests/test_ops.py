@@ -410,3 +410,40 @@ def test_simhash_packed_exact_on_random_corpus(spark):
     unpacked = {r["doc_id"]: r["simhash"]
                 for r in _simhash_unpacked(toks, "doc_id").collect()}
     assert packed == unpacked and len(packed) == 200
+
+
+def test_url_components_and_canonical(spark):
+    from log_parser_spark.ops import web
+    rows = [
+        (1, "https://Example.COM:443/a/b?x=1#frag"),
+        (2, "http://example.com:80/"),
+        (3, "https://example.com"),
+        (4, "http://example.com:8080/p?"),
+        (5, "not a url"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "url"])
+    comp = {r["id"]: r for r in web.url_components(df).collect()}
+    assert comp[1]["host"] == "example.com" and comp[1]["port"] == 443
+    assert comp[1]["path"] == "/a/b" and comp[1]["query"] == "x=1"
+    assert comp[1]["path_depth"] == 2
+    assert comp[3]["path"] == "/" and comp[3]["port"] is None
+
+    canon = {r["id"]: r["c"] for r in df.select(
+        "id", web.canonical_url_col("url").alias("c")).collect()}
+    assert canon[1] == "https://example.com/a/b?x=1"   # port+frag dropped
+    assert canon[2] == "http://example.com/"           # default port
+    assert canon[3] == "https://example.com/"          # empty path
+    assert canon[4] == "http://example.com:8080/p"     # port kept, ? dropped
+    assert canon[5] == "not a url"                     # passthrough
+
+
+def test_url_dedup_groups_variants(spark):
+    from log_parser_spark.ops import web
+    rows = [(u,) for u in [
+        "https://a.io/x", "https://A.IO/x", "https://a.io:443/x",
+        "https://a.io/x#f", "https://b.io/y"]]
+    df = spark.createDataFrame(rows, ["url"])
+    out = {r["canonical_url"]: (r["representative"], r["n_variants"])
+           for r in web.url_dedup(df).collect()}
+    assert out["https://a.io/x"] == ("https://A.IO/x", 4)
+    assert out["https://b.io/y"] == ("https://b.io/y", 1)
