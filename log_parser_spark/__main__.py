@@ -232,7 +232,7 @@ def main(argv=None):
                 jpath = Path(folder) / DEFAULT_JSON_FILE_NAME
                 with jpath.open("w") as f:
                     json.dump(j, f)
-                log(f"JSON Output is in {jpath.as_uri()}", report)
+                log(f"JSON Output is in {jpath.resolve().as_uri()}", report)
 
         if args.console == "short":
             print()

@@ -103,3 +103,19 @@ def test_cli_directory_mode(spark, tmp_path):
     for s in subs:
         assert os.path.exists(os.path.join(run_dir, s, "log.json"))
         assert os.path.exists(os.path.join(run_dir, s, "counters.csv"))
+
+
+def test_cli_pages_parquet_mode(spark, tmp_path, monkeypatch):
+    """A pages parquet dir fans out per url; relative -o works (the
+    as_uri of a relative json path crashed once)."""
+    from log_parser_spark.__main__ import main
+    from log_parser_spark.corpus import write_pages_parquet
+    pages = str(tmp_path / "pages")
+    write_pages_parquet(spark, pages, 6)
+    monkeypatch.chdir(tmp_path)
+    run_dir = main([pages, "-j", "-o", "out", "--cores", "4"])
+    subs = [d for d in os.listdir(run_dir)
+            if os.path.isdir(os.path.join(run_dir, d))]
+    assert len(subs) == 6
+    assert any(os.path.exists(os.path.join(run_dir, s, "log.json"))
+               for s in subs)
