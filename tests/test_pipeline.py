@@ -72,3 +72,35 @@ def test_resume_guards_against_changed_bucketing(spark, pages_path,
         spark, out, n_buckets=2,
         current_splits={0: ["not-the-same#0"], 1: ["neither#0"]})
     assert done == set()
+
+
+def test_pipeline_disjoint_shard_workers(spark, pages_path, tmp_path):
+    """Multi-process scale-out: two 'workers' each own a disjoint
+    bucket subset (only_buckets); their union equals a single full run
+    — same records rows, complete lineage, and resume sees all done."""
+    out_sharded = str(tmp_path / "sharded")
+    m1 = run_pipeline(spark, out_sharded, pages_path=pages_path,
+                      n_buckets=4, only_buckets=[0, 1],
+                      sink_names=["quarantine"])
+    m2 = run_pipeline(spark, out_sharded, pages_path=pages_path,
+                      n_buckets=4, only_buckets=[2, 3],
+                      sink_names=["quarantine"])
+    assert [b["bucket"] for b in m1["buckets"]] == [0, 1]
+    assert [b["bucket"] for b in m2["buckets"]] == [2, 3]
+    assert processed_buckets(spark, out_sharded) == {0, 1, 2, 3}
+
+    out_full = str(tmp_path / "full")
+    mf = run_pipeline(spark, out_full, pages_path=pages_path,
+                      n_buckets=4, sink_names=["quarantine"])
+    assert (m1["rows_out"]["records"] + m2["rows_out"]["records"]
+            == mf["rows_out"]["records"])
+    sharded = spark.read.parquet(os.path.join(out_sharded, "records"))
+    full = spark.read.parquet(os.path.join(out_full, "records"))
+    assert sharded.count() == full.count()
+    assert sharded.select("url").distinct().count() == 48
+
+    # a third worker asked for already-done buckets does nothing
+    m3 = run_pipeline(spark, out_sharded, pages_path=pages_path,
+                      n_buckets=4, only_buckets=[1, 2], resume=True,
+                      epoch=1, sink_names=["quarantine"])
+    assert m3["buckets"] == []

@@ -3,6 +3,10 @@ queries() entry and compares against oracle_sql() via DuckDB
 (row count + column names + order-insensitive exact values).
 
 Usage: python tools/selfcheck.py [sf_dir] [query ...]
+
+Default sf_dir is sf0.01 — the scale the driver runs the gate at;
+the golden-parquet oracles are PINNED to sf0.01 outputs, so other
+sf dirs will (correctly) mismatch on the golden-backed queries.
 """
 
 from __future__ import annotations
@@ -28,7 +32,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entrymod
