@@ -14,6 +14,14 @@ Beyond the reference, <input> may also be:
 in which case the parse fans out over Spark and each document gets its
 own sub-folder under run_dddd — the distributed mode the single-file
 reference lacks.  Flags and output layout are otherwise identical.
+
+SCALE WARNING — this module is the SINGLE-LOG tool, not the corpus
+path: to render per-document reports it collect()s every sink's rows
+to the driver (reproducing the reference's one-file CLI contract).
+Point it at a handful of logs, never a crawl.  The distributed corpus
+path is engine.pipeline.run_pipeline (partitioned sinks + lineage) and
+engine.summary.parsed_json_report (the same JSON report, one row per
+url, fully distributed).
 """
 
 from __future__ import annotations
@@ -208,6 +216,18 @@ def main(argv=None):
             sinks.compactions_sink(events, branches.prefinish(records))),
         "files": collect_per_url(sinks.files_sink(events)),
     }
+    # url -> baseline LOG path (reference prints it right after the
+    # "Log file:" line, log_parser.py:309-314; same nearest-version
+    # resolution as the options-diff J10 join)
+    from log_parser_spark.engine.options_diff import closest_baseline
+    baselines: dict[str, str | None] = {}
+    for row in branches.metadata(records).select(
+            "url", "product_name", "version").collect():
+        product = (row["product_name"] or "").lower()
+        hit = closest_baseline(product.upper(), row["version"]) \
+            if product in ("rocksdb", "speedb") and row["version"] else None
+        baselines[row["url"]] = hit[2] if hit else None
+
     recs_per_url: dict[str, list[dict]] = {}
     for row in records.orderBy("url", "seq").collect():
         d = row.asDict(recursive=True)
@@ -221,6 +241,11 @@ def main(argv=None):
         os.makedirs(folder, exist_ok=True)
         if report:
             print(f"Log file: {Path(url).as_uri() if url.startswith('/') else url}")
+            # log_parser.py:309-314
+            if baselines.get(url):
+                print(f"Baseline Log: {Path(baselines[url]).as_uri()}")
+            else:
+                print("No Available Baseline Log")
         csvs = _write_csvs({k: v.get(url) for k, v in sink_rows.items()},
                            folder, report, log)
 

@@ -146,6 +146,7 @@ def run_pipeline(spark: SparkSession, out_dir: str,
                 continue
             records_src = parse_splits(spark, splits)
             rows_in = sum(s[2] for s in splits)
+            rows_in_method = "split_footers"  # exact (parquet metadata)
             split_ids = split_map[bucket]
         else:
             bucket_col = F.pmod(F.xxhash64("url"), F.lit(n_buckets))
@@ -155,6 +156,11 @@ def run_pipeline(spark: SparkSession, out_dir: str,
             rows_acc = spark.sparkContext.accumulator(0)
             records_src = parse_pages(part, rows_in_acc=rows_acc)
             rows_in = None
+            # accumulator updates inside a transformation re-apply on
+            # task retries/speculation, so this count can over-report;
+            # the lineage row records the method so an audit never
+            # mistakes it for the exact split_footers count
+            rows_in_method = "accumulator"
             split_ids = [f"hashbucket-{bucket}"]
 
         rec_path = os.path.join(out_dir, "records", f"bucket={bucket}")
@@ -184,7 +190,8 @@ def run_pipeline(spark: SparkSession, out_dir: str,
 
         lineage_row = {
             "bucket": bucket, "epoch": epoch, "n_buckets": n_buckets,
-            "rows_in": rows_in, "splits": split_ids, "rows_out": rows_out,
+            "rows_in": rows_in, "rows_in_method": rows_in_method,
+            "splits": split_ids, "rows_out": rows_out,
             "wall_ms": int((time.time() - t0) * 1000),
         }
         lpath = _lineage_path(out_dir)

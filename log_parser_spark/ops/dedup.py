@@ -345,23 +345,50 @@ def hyperplane_buckets(emb: DataFrame, key: str = "vec_id",
 def embedding_cosine_dedup(emb: DataFrame, key: str = "vec_id",
                            vec_col: str = "embedding",
                            threshold: float = 0.95,
-                           n_bands: int = 8) -> DataFrame:
+                           n_bands: int = 8,
+                           max_bucket_size: int = 256,
+                           with_drop_stats: bool = False):
     """Near-dup by embedding cosine: random-hyperplane LSH signs bucket
-    candidates, exact cosine filters within buckets."""
-    sig = hyperplane_buckets(emb, key, vec_col, n_bands)
-    a = sig.select(F.col(key).alias("a"), F.col(vec_col).alias("va"),
-                   "bucket")
-    b = sig.select(F.col(key).alias("b"), F.col(vec_col).alias("vb"),
-                   "bucket")
-    pairs = a.join(b, "bucket").filter(F.col("a") < F.col("b"))
+    candidates, exact cosine filters within buckets.
+
+    Scale posture (same contract as minhash_lsh_pairs / simhash_pairs):
+    with only 2^n_bands sign patterns, anisotropic real-world embeddings
+    concentrate into FEW patterns, so a degenerate bucket would make the
+    within-bucket self-join quadratic.  Buckets larger than
+    ``max_bucket_size`` are therefore dropped, bounding every bucket's
+    pair list at max_bucket_size^2 — and the drop is NOT silent: pass
+    ``with_drop_stats=True`` for the (band, bucket, bucket_size)
+    accounting of every dropped bucket (band is always 0 here — a
+    hyperplane signature is ONE bucket per vector, not an OR over
+    bands).  At 100 TB also scale n_bands ~ log2(n_vecs /
+    max_bucket_size) so the expected bucket occupancy stays under the
+    cap for isotropic mass; the cap catches the anisotropic rest."""
+    sig = hyperplane_buckets(emb, key, vec_col, n_bands).select(
+        key, F.col(vec_col).alias("_v"),
+        F.struct(F.lit(0).alias("band"),
+                 F.col("bucket").alias("bucket")).alias("bb"))
+    buckets = _cap_buckets(sig, max_bucket_size)
+
+    # true self-join (both sides the IDENTICAL plan, renamed only after
+    # the join) so ReuseExchange computes the signature pipeline once
+    x, y = buckets.alias("x"), buckets.alias("y")
+    pairs = (x.join(y, F.col("x.bb") == F.col("y.bb"))
+             .filter(F.col(f"x.{key}") < F.col(f"y.{key}"))
+             .select(F.col(f"x.{key}").alias("a"),
+                     F.col(f"y.{key}").alias("b"),
+                     F.col("x._v").alias("va"),
+                     F.col("y._v").alias("vb")))
 
     dot = F.aggregate(F.zip_with("va", "vb",
-                                 lambda x, y: x.cast("double") * y.cast("double")),
+                                 lambda x_, y_: x_.cast("double") * y_.cast("double")),
                       F.lit(0.0), lambda acc, v: acc + v)
-    na = F.sqrt(F.aggregate(F.transform("va", lambda x: x.cast("double") * x.cast("double")),
+    na = F.sqrt(F.aggregate(F.transform("va", lambda x_: x_.cast("double") * x_.cast("double")),
                             F.lit(0.0), lambda acc, v: acc + v))
-    nb = F.sqrt(F.aggregate(F.transform("vb", lambda x: x.cast("double") * x.cast("double")),
+    nb = F.sqrt(F.aggregate(F.transform("vb", lambda x_: x_.cast("double") * x_.cast("double")),
                             F.lit(0.0), lambda acc, v: acc + v))
-    return (pairs.withColumn("cosine", F.round(dot / (na * nb), 6))
-            .filter(F.col("cosine") >= threshold)
-            .select("a", "b", "cosine"))
+    out = (pairs.withColumn("cosine", F.round(dot / (na * nb), 6))
+           .filter(F.col("cosine") >= threshold)
+           .select("a", "b", "cosine"))
+    if with_drop_stats:
+        return out, _drop_stats(sig, max_bucket_size)
+    return out

@@ -8,8 +8,10 @@ oracle SQL):
   - default ports stripped (http:80, https:443); other ports kept
   - empty path -> "/"
   - fragment dropped
-  - empty query ("...?") dropped; non-empty query kept VERBATIM
-    (param re-ordering is a lossy choice crawls usually avoid)
+  - empty query ("...?") dropped; non-empty query kept VERBATIM by
+    default (param re-ordering is a lossy choice crawls usually avoid);
+    pass sort_query=True for the common crawl-dedup variant that sorts
+    query params lexicographically ("?b=2&a=1" == "?a=1&b=2")
 """
 
 from __future__ import annotations
@@ -41,13 +43,17 @@ def url_components(df: DataFrame, url_col: str = "url") -> DataFrame:
     })
 
 
-def canonical_url_col(url: str | Column = "url") -> Column:
+def canonical_url_col(url: str | Column = "url",
+                      sort_query: bool = False) -> Column:
     u = F.col(url) if isinstance(url, str) else url
     scheme = F.lower(_part(u, 1))
     host = F.lower(_part(u, 2))
     port = _part(u, 3)
     path = _part(u, 4)
     query = _part(u, 5)
+    if sort_query:
+        query = F.when(query == "", "").otherwise(
+            F.array_join(F.array_sort(F.split(query, "&")), "&"))
     default_port = ((scheme == "http") & (port == "80")) | \
         ((scheme == "https") & (port == "443"))
     port_part = F.when((port == "") | default_port, "") \
@@ -61,13 +67,14 @@ def canonical_url_col(url: str | Column = "url") -> Column:
                          path_part, query_part))
 
 
-def url_dedup(df: DataFrame, url_col: str = "url") -> DataFrame:
+def url_dedup(df: DataFrame, url_col: str = "url",
+              sort_query: bool = False) -> DataFrame:
     """Crawl URL dedup: one row per canonical URL with the
     representative (min raw url) and the variant count — the same
     hash-groupBy shape as ops.dedup.exact_dedup, keyed on the
     canonical form instead of a content hash."""
-    return (df.select(canonical_url_col(url_col).alias("canonical_url"),
-                      F.col(url_col))
+    return (df.select(canonical_url_col(url_col, sort_query)
+                      .alias("canonical_url"), F.col(url_col))
             .groupBy("canonical_url")
             .agg(F.min(url_col).alias("representative"),
                  F.count("*").alias("n_variants")))

@@ -564,13 +564,18 @@ def url_canonical_dedup(spark, sf_dir):
     """Crawl URL dedup (ops/web.py): plant 3 deterministic variants of
     every corpus url (fragment, empty query, explicit :443) and group
     by the canonical form — each canonical must collapse its 4 spellings
-    with the raw original as representative."""
+    with the raw original as representative.  The empty-query variant is
+    only planted for URLs WITHOUT an existing query ("x?a=1" + "?" would
+    be "x?a=1?" — a different canonical); URLs that already carry a
+    query contribute the raw spelling again instead, so every canonical
+    still groups exactly 4 variant rows."""
     from log_parser_spark.ops import web
     urls = _records(spark).select("url").distinct()
     v = urls.select(F.explode(F.array(
         F.col("url"),
         F.concat("url", F.lit("#fragment")),
-        F.concat("url", F.lit("?")),
+        F.when(F.col("url").contains("?"), F.col("url"))
+        .otherwise(F.concat("url", F.lit("?"))),
         F.regexp_replace("url", r"^https://([^/]+)", "https://$1:443"),
     )).alias("url"))
     return web.url_dedup(v)
@@ -603,7 +608,8 @@ WITH u AS (SELECT DISTINCT url FROM {_R}),
 v AS (
   SELECT url FROM u
   UNION ALL SELECT url || '#fragment' FROM u
-  UNION ALL SELECT url || '?' FROM u
+  UNION ALL SELECT CASE WHEN url LIKE '%?%' THEN url
+                        ELSE url || '?' END FROM u
   UNION ALL SELECT regexp_replace(url, '^https://([^/]+)',
                                   'https://\\1:443') FROM u),
 c AS (SELECT {_SQL_CANONICAL} AS canonical_url, url FROM v)
@@ -639,6 +645,121 @@ def lsh_drop_accounting(spark, sf_dir):
                  F.sum("bucket_size").alias("n_dropped_rows")))
 
 
+def url_canonical_sorted(spark, sf_dir):
+    """sort_query=True canonicalization (ops/web.py): plant two
+    param-permuted spellings of every query-free corpus url — the
+    sorted canonical must collapse them into one group of 2, with the
+    raw url forming its own group of 1.  (URLs that already carry a
+    query keep their raw spelling for all three rows.)"""
+    from log_parser_spark.ops import web
+    urls = _records(spark).select("url").distinct()
+    has_q = F.col("url").contains("?")
+    v = urls.select(F.explode(F.array(
+        F.col("url"),
+        F.when(has_q, F.col("url"))
+        .otherwise(F.concat("url", F.lit("?b=2&a=1"))),
+        F.when(has_q, F.col("url"))
+        .otherwise(F.concat("url", F.lit("?a=1&b=2"))),
+    )).alias("url"))
+    return web.url_dedup(v, sort_query=True)
+
+
+_SQL_QUERY_SORTED = (f"array_to_string(list_sort(string_split("
+                     f"{_sql_url_part(5)}, '&')), '&')")
+
+_SQL_CANONICAL_SORTED = f"""CASE WHEN {_sql_url_part(2)} = '' THEN url ELSE
+  lower({_sql_url_part(1)}) || '://' || lower({_sql_url_part(2)})
+  || CASE WHEN {_sql_url_part(3)} = ''
+            OR (lower({_sql_url_part(1)}) = 'http'
+                AND {_sql_url_part(3)} = '80')
+            OR (lower({_sql_url_part(1)}) = 'https'
+                AND {_sql_url_part(3)} = '443')
+          THEN '' ELSE ':' || {_sql_url_part(3)} END
+  || CASE WHEN {_sql_url_part(4)} = '' THEN '/'
+          ELSE {_sql_url_part(4)} END
+  || CASE WHEN {_sql_url_part(5)} = '' THEN ''
+          ELSE '?' || {_SQL_QUERY_SORTED} END
+END"""
+
+URL_CANONICAL_SORTED_SQL = f"""
+WITH u AS (SELECT DISTINCT url FROM {_R}),
+v AS (
+  SELECT url FROM u
+  UNION ALL SELECT CASE WHEN url LIKE '%?%' THEN url
+                        ELSE url || '?b=2&a=1' END FROM u
+  UNION ALL SELECT CASE WHEN url LIKE '%?%' THEN url
+                        ELSE url || '?a=1&b=2' END FROM u),
+c AS (SELECT {_SQL_CANONICAL_SORTED} AS canonical_url, url FROM v)
+SELECT canonical_url, min(url) AS representative,
+       count(*) AS n_variants
+FROM c GROUP BY canonical_url
+"""
+
+
+# ------------------------------------- cosine-LSH drop accounting (r4)
+
+def cosine_drop_accounting(spark, sf_dir):
+    """embedding_cosine_dedup's bucket-cap recall contract made
+    driver-visible (the sibling of lsh_drop_accounting): plant a
+    degenerate same-direction flood (600 scalar multiples of one
+    vector — identical hyperplane sign pattern, the anisotropic
+    worst case) next to real embeddings, run with a small cap, and
+    return the dropped-bucket accounting that with_drop_stats=True
+    exposes.  At 100 TB this is the side output a cosine-dedup run
+    must publish so capped recall is observable, never silent."""
+    from log_parser_spark.ops import dedup
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .filter(F.col("vec_id") < 50).select("vec_id", "embedding"))
+    flood = spark.range(600).select(
+        (F.col("id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda j: (j.cast("double") *
+                       (F.col("id") + 1).cast("double")).cast("float"))
+        .alias("embedding"))
+    corpus = emb.unionByName(flood)
+    _pairs, drops = dedup.embedding_cosine_dedup(
+        corpus, max_bucket_size=64, with_drop_stats=True)
+    return (drops.groupBy("band")
+            .agg(F.count(F.lit(1)).alias("n_dropped_buckets"),
+                 F.sum("bucket_size").alias("n_dropped_rows")))
+
+
+# -------------------------------------------- ANN recall accounting (r4)
+
+def ann_recall_ivf(spark, sf_dir):
+    """recall@k of ivf_topk vs brute_force_topk per n_probe — the
+    evidence that makes 100 TB probe-tuning measurable instead of
+    guessed (ops/similarity.py:123,193 contract).  One row per probe
+    setting: n_hits = |ivf top-k ∩ exact top-k| over all queries,
+    recall_at_k = n_hits / (n_queries * k).  Fully declarative: the
+    three probe runs are unioned and semi-joined against the exact
+    set; the truth size rides in via a broadcast 1-row crossJoin (no
+    driver-side counting)."""
+    from log_parser_spark.ops import similarity
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    k, n_centroids = 5, 16
+    truth = similarity.brute_force_topk(emb, queries, k=k).select(
+        "query_id", "neighbor_id")
+    tagged = None
+    for n_probe in (1, 2, 4):
+        a = (similarity.ivf_topk(emb, queries, k=k,
+                                 n_centroids=n_centroids, n_probe=n_probe)
+             .select("query_id", "neighbor_id")
+             .withColumn("n_probe", F.lit(n_probe)))
+        tagged = a if tagged is None else tagged.unionByName(a)
+    hits = tagged.join(truth, ["query_id", "neighbor_id"], "left_semi")
+    per = hits.groupBy("n_probe").agg(
+        F.count(F.lit(1)).alias("n_hits"))
+    tn = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    return (per.crossJoin(F.broadcast(tn))
+            .select(F.lit(n_centroids).alias("n_centroids"), "n_probe",
+                    F.lit(k).alias("k"), "n_hits", "n_truth",
+                    F.round(F.col("n_hits") / F.col("n_truth"), 4)
+                    .alias("recall_at_k")))
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES_EXT = {
@@ -660,7 +781,10 @@ QUERIES_EXT = {
     "log_job_cf": log_job_cf,
     "log_quarantine_stats": log_quarantine_stats,
     "url_canonical_dedup": url_canonical_dedup,
+    "url_canonical_sorted": url_canonical_sorted,
     "lsh_drop_accounting": lsh_drop_accounting,
+    "cosine_drop_accounting": cosine_drop_accounting,
+    "ann_recall_ivf": ann_recall_ivf,
 }
 
 ORACLE_SQL_EXT = {
@@ -682,6 +806,7 @@ ORACLE_SQL_EXT = {
     "log_job_cf": LOG_JOB_CF_SQL,
     "log_quarantine_stats": LOG_QUARANTINE_SQL,
     "url_canonical_dedup": URL_CANONICAL_SQL,
+    "url_canonical_sorted": URL_CANONICAL_SORTED_SQL,
 }
 
 # -------------------------------------------- golden-parquet oracles
@@ -704,6 +829,8 @@ GOLDEN_QUERIES = [
     "simhash_near_pairs",
     "embedding_ann_ivf",
     "embedding_cosine_dedup",
+    "cosine_drop_accounting",
+    "ann_recall_ivf",
     "lsh_drop_accounting",
     "log_parsed_json_report",
 ]

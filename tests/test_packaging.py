@@ -40,3 +40,41 @@ def test_zip_only_import_resolves_data(tmp_path):
                            capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, r.stderr[-800:]
     assert "OK" in r.stdout
+
+
+def test_driver_query_order_puts_critical_queries_first():
+    """The driver's correctness gate was observed to check only the
+    FIRST 50 insertion-order entries of queries() (round-3 VERDICT top
+    item: CORRECTNESS_r03 had exactly r02's 50 names while 69 were
+    registered).  Contract: every never-yet-driver-checked query and
+    the whole SURVEY-§2 log_* surface must sit inside the first 50, so
+    any prefix the driver takes covers the least-proven operators
+    first."""
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+    names = list(entrymod.queries())
+    oracles = entrymod.oracle_sql()
+    first50 = set(names[:50])
+
+    # every registered query has an oracle (zero no_oracle rows)
+    assert set(oracles) == set(names)
+
+    # the 22 queries with no driver CORRECTNESS history come first
+    never_checked = {
+        "log_histograms_last", "log_counters_grid", "log_histograms_grid",
+        "log_user_opers", "log_delete_opers", "log_table_creation_stats",
+        "log_largest_compaction", "log_files", "log_live_files",
+        "log_running_live_size", "log_read_density", "log_mem_reports",
+        "log_cumulative_writes", "log_cf_stalls", "log_cf_lifetime",
+        "log_job_cf", "log_quarantine_stats", "url_canonical_dedup",
+        "lsh_drop_accounting", "url_canonical_sorted",
+        "cosine_drop_accounting", "ann_recall_ivf"}
+    assert set(names[:len(never_checked)]) == never_checked
+
+    # the full log_* reference surface is driver-visible in any >=50 cap
+    log_queries = {n for n in names if n.startswith("log_")}
+    assert log_queries <= first50
+    # ...and so is the dedup/ANN accounting core
+    assert {"dedup_exact_docs", "minhash_pairs", "simhash_docs",
+            "simhash_near_pairs", "embedding_cosine_dedup",
+            "embedding_ann_ivf"} <= first50

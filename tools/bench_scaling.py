@@ -71,20 +71,21 @@ def main():
             f.write(json.dumps(result) + "\n")
 
     history = [json.loads(ln) for ln in open(hist_path)]
-    # report the best-THROUGHPUT pairing among gate-passing runs (the
-    # honest noise-tolerant pick: efficiency must pass, then show the
-    # fastest machine state); fall back to max efficiency if none pass
+    # PRIMARY result: the run just measured (the last history row —
+    # honest current-machine-state reporting).  The best historical
+    # gate-passing pairing is reported SEPARATELY, labeled as a peak.
+    current = history[-1]
     passing = [r for r in history if r["gate_0.8"]]
-    best = max(passing, key=lambda r: r["docs_per_sec_large"]) if passing \
+    peak = max(passing, key=lambda r: r["docs_per_sec_large"]) if passing \
         else max(history, key=lambda r: r["efficiency"])
-    result = best
-    small = {"pages": best["pages"],
-             "queries": {"log_pipeline": best["wall_small"]},
-             "docs_per_sec": best["docs_per_sec_small"],
-             "gb_per_sec": best.get("gb_per_sec_small", 0)}
-    large = {"queries": {"log_pipeline": best["wall_large"]},
-             "docs_per_sec": best["docs_per_sec_large"],
-             "gb_per_sec": best.get("gb_per_sec_large", 0)}
+    result = current
+    small = {"pages": current["pages"],
+             "queries": {"log_pipeline": current["wall_small"]},
+             "docs_per_sec": current["docs_per_sec_small"],
+             "gb_per_sec": current.get("gb_per_sec_small", 0)}
+    large = {"queries": {"log_pipeline": current["wall_large"]},
+             "docs_per_sec": current["docs_per_sec_large"],
+             "gb_per_sec": current.get("gb_per_sec_large", 0)}
 
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(f"""# BENCH baseline (measured)
@@ -94,11 +95,12 @@ Full parse->route->aggregate pipeline (worker-side parquet split reads
 histogram aggregate) over the deterministic synthetic pages corpus
 ({small['pages']} docs, reference fixture logs embedded, Zipf domain
 skew).  Identical input bytes for both runs; each leg CPU-pinned to
-its core budget; JIT/codegen warmed untimed.  The table shows the
-best recorded leg-pairing across runs (full history in
-BENCH/scaling_runs.jsonl): this host's hypervisor throttles sustained
-load by up to 3x (measured with plain multiprocessing, Spark-free), so
-single pairings range 0.5-1.0 efficiency purely with machine state.
+its core budget; JIT/codegen warmed untimed.  The table shows the MOST
+RECENT measured leg-pairing (median-of-{os.environ.get('SCALE_RUNS', '3')}
+per leg; full history in BENCH/scaling_runs.jsonl): this host's
+hypervisor throttles sustained load by up to 3x (measured with plain
+multiprocessing, Spark-free), so single pairings range 0.5-1.0
+efficiency purely with machine state.
 
 | run | cores | wall (s) | docs/sec | GB/sec |
 |---|---|---|---|---|
@@ -107,6 +109,12 @@ single pairings range 0.5-1.0 efficiency purely with machine state.
 
 scaling efficiency = throughput_4N / (4 x throughput_N) = **{result['efficiency']}**
 (gate >= 0.8: {"PASS" if result['gate_0.8'] else "FAIL"})
+
+Historical peak pairing (best gate-passing throughput across all
+recorded runs — the machine-state ceiling, NOT the primary claim):
+{peak['docs_per_sec_small']} -> {peak['docs_per_sec_large']} docs/sec at
+{peak['n_small']} -> {peak['n_large']} pinned cores, efficiency
+{peak['efficiency']}.
 
 Reference single-node comparison: the reference tool is a single-thread
 CPython process measured at ~210 docs/sec on one core of this host for
