@@ -87,6 +87,88 @@ def quality_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
             - F.when(F.col("n_tokens") < 5, 0.5).otherwise(0.0), 6))
 
 
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", §A1.1) — the
+# standard web-corpus document filter, as pure codegen expressions so a
+# 100 TB pass stays JVM-side.  Thresholds are the published ones.
+_GOPHER_REQ_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have",
+                         "with"]
+
+
+def gopher_quality_columns(df: DataFrame,
+                           text_col: str = "text") -> DataFrame:
+    """Per-document Gopher rule metrics + pass flag:
+
+    - n_words in [50, 100000]
+    - mean_word_len in [3, 10]
+    - symbol_word_ratio (# and ... per word) <= 0.1
+    - bullet_line_ratio (lines starting with a bullet) <= 0.9
+    - ellipsis_line_ratio (lines ending with ...) <= 0.3
+    - alpha_word_ratio (words containing a letter) >= 0.8
+    - n_req_stopwords (distinct hits from Gopher's 8-word list) >= 2
+
+    Everything is array/regex codegen over ONE tokens and ONE lines
+    materialization (CollapseProject keeps each split single-run, same
+    staging trick as quality_columns)."""
+    t = F.col(text_col)
+    staged = df.withColumns({
+        "_toks": tokens_col(text_col),
+        "_lines": F.filter(F.split(t, r"\n"),
+                           lambda ln: F.length(F.trim(ln)) > 0),
+    })
+    n_words = F.size("_toks").cast("long")
+    nz_words = F.greatest(n_words, F.lit(1)).cast("double")
+    n_lines = F.size("_lines").cast("long")
+    nz_lines = F.greatest(n_lines, F.lit(1)).cast("double")
+
+    total_word_chars = F.aggregate(
+        "_toks", F.lit(0).cast("long"),
+        lambda acc, w: acc + F.length(w).cast("long"))
+    mean_word_len = F.round(total_word_chars.cast("double") / nz_words, 6)
+
+    n_symbols = (F.length(F.regexp_replace(t, r"[^#]", "")) +
+                 F.regexp_count(t, F.lit(r"\.\.\.|…"))).cast("double")
+    symbol_ratio = F.round(n_symbols / nz_words, 6)
+
+    bullet_lines = F.size(F.filter(
+        "_lines", lambda ln: F.trim(ln).rlike(r"^[•\-\*]")))
+    bullet_ratio = F.round(bullet_lines.cast("double") / nz_lines, 6)
+
+    ellipsis_lines = F.size(F.filter(
+        "_lines",
+        lambda ln: F.rtrim(ln).rlike(r"(\.\.\.|…)$")))
+    ellipsis_ratio = F.round(ellipsis_lines.cast("double") / nz_lines, 6)
+
+    alpha_words = F.size(F.filter(
+        "_toks", lambda w: w.rlike("[A-Za-z]")))
+    alpha_ratio = F.round(alpha_words.cast("double") / nz_words, 6)
+
+    lowered = F.transform("_toks", lambda w: F.lower(w))
+    n_req_sw = F.size(F.array_intersect(
+        lowered, F.array(*[F.lit(w) for w in _GOPHER_REQ_STOPWORDS])
+    )).cast("long")
+
+    out = staged.withColumns({
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "symbol_word_ratio": symbol_ratio,
+        "bullet_line_ratio": bullet_ratio,
+        "ellipsis_line_ratio": ellipsis_ratio,
+        "alpha_word_ratio": alpha_ratio,
+        "n_req_stopwords": n_req_sw,
+    }).drop("_toks", "_lines")
+    gopher_pass = ((F.col("n_words") >= 50) &
+                   (F.col("n_words") <= 100_000) &
+                   (F.col("mean_word_len") >= 3) &
+                   (F.col("mean_word_len") <= 10) &
+                   (F.col("symbol_word_ratio") <= 0.1) &
+                   (F.col("bullet_line_ratio") <= 0.9) &
+                   (F.col("ellipsis_line_ratio") <= 0.3) &
+                   (F.col("alpha_word_ratio") >= 0.8) &
+                   (F.col("n_req_stopwords") >= 2))
+    return out.withColumn("gopher_pass", gopher_pass)
+
+
 def stopword_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: argmax of stopword hit counts (ties ->
     'und' when no stopwords hit at all)."""

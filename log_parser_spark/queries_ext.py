@@ -725,6 +725,70 @@ def cosine_drop_accounting(spark, sf_dir):
                  F.sum("bucket_size").alias("n_dropped_rows")))
 
 
+# ------------------------------------------- Gopher quality rules (r4)
+
+def gopher_quality(spark, sf_dir):
+    """Gopher document-filter metrics (Rae et al. 2021 §A1.1) per doc
+    (ops/text.gopher_quality_columns): rule metrics + the pass flag,
+    pure codegen so a 100 TB filtering pass stays JVM-side."""
+    from log_parser_spark.ops import text as T
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return T.gopher_quality_columns(docs).select(
+        "doc_id", "n_words", "mean_word_len", "symbol_word_ratio",
+        "bullet_line_ratio", "ellipsis_line_ratio", "alpha_word_ratio",
+        "n_req_stopwords", "gopher_pass")
+
+
+GOPHER_QUALITY_SQL = r"""
+WITH q AS (
+  SELECT doc_id, text,
+    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks,
+    list_filter(string_split(text, chr(10)),
+                ln -> length(trim(ln)) > 0) AS lines
+  FROM documents),
+m AS (
+  SELECT doc_id,
+    len(toks)::BIGINT AS n_words,
+    greatest(len(toks), 1)::DOUBLE AS nzw,
+    greatest(len(lines), 1)::DOUBLE AS nzl,
+    coalesce(list_sum(list_transform(toks, w -> length(w))), 0)::DOUBLE
+      AS total_chars,
+    (length(regexp_replace(text, '[^#]', '', 'g'))
+     + len(regexp_extract_all(text, '\.\.\.|…')))::DOUBLE AS n_symbols,
+    len(list_filter(lines,
+        ln -> regexp_matches(trim(ln), '^[•\-\*]')))::DOUBLE
+      AS bullet_lines,
+    len(list_filter(lines,
+        ln -> regexp_matches(rtrim(ln), '(\.\.\.|…)$')))::DOUBLE
+      AS ellipsis_lines,
+    len(list_filter(toks,
+        w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE AS alpha_words,
+    len(list_intersect(list_transform(toks, w -> lower(w)),
+        ['the','be','to','of','and','that','have','with']))::BIGINT
+      AS n_req_stopwords
+  FROM q),
+r AS (
+  SELECT doc_id, n_words,
+    CAST(round(total_chars / nzw, 6) AS DOUBLE) AS mean_word_len,
+    CAST(round(n_symbols / nzw, 6) AS DOUBLE) AS symbol_word_ratio,
+    CAST(round(bullet_lines / nzl, 6) AS DOUBLE) AS bullet_line_ratio,
+    CAST(round(ellipsis_lines / nzl, 6) AS DOUBLE) AS ellipsis_line_ratio,
+    CAST(round(alpha_words / nzw, 6) AS DOUBLE) AS alpha_word_ratio,
+    n_req_stopwords
+  FROM m)
+SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+       bullet_line_ratio, ellipsis_line_ratio, alpha_word_ratio,
+       n_req_stopwords,
+       (n_words >= 50 AND n_words <= 100000
+        AND mean_word_len >= 3 AND mean_word_len <= 10
+        AND symbol_word_ratio <= 0.1 AND bullet_line_ratio <= 0.9
+        AND ellipsis_line_ratio <= 0.3 AND alpha_word_ratio >= 0.8
+        AND n_req_stopwords >= 2) AS gopher_pass
+FROM r
+"""
+
+
 # -------------------------------------------- ANN recall accounting (r4)
 
 def ann_recall_ivf(spark, sf_dir):
@@ -785,6 +849,7 @@ QUERIES_EXT = {
     "lsh_drop_accounting": lsh_drop_accounting,
     "cosine_drop_accounting": cosine_drop_accounting,
     "ann_recall_ivf": ann_recall_ivf,
+    "gopher_quality": gopher_quality,
 }
 
 ORACLE_SQL_EXT = {
@@ -807,6 +872,7 @@ ORACLE_SQL_EXT = {
     "log_quarantine_stats": LOG_QUARANTINE_SQL,
     "url_canonical_dedup": URL_CANONICAL_SQL,
     "url_canonical_sorted": URL_CANONICAL_SORTED_SQL,
+    "gopher_quality": GOPHER_QUALITY_SQL,
 }
 
 # -------------------------------------------- golden-parquet oracles

@@ -528,3 +528,31 @@ def test_media_real_decoder_requires_pil(spark):
     thumb = mm.resize_images(img, target_w=4, target_h=2,
                              decoder="real").collect()[0]
     assert len(thumb["thumbnail"]) == 8
+
+
+def test_gopher_quality_rules(spark):
+    """Gopher rule metrics on planted violations: each doc trips
+    exactly the intended rule."""
+    good_words = ("the quick brown fox jumps over that lazy dog and "
+                  "runs off to be with all of them in have with " * 4)
+    rows = [
+        (1, good_words),                                   # passes all
+        (2, "too short to pass the word count rule"),      # n_words < 50
+        (3, "\n".join("• item the of and to be that have"
+                      for _ in range(20))),                # all bullets
+        (4, good_words + " " + "#### " * 40),              # symbols
+        (5, " ".join(str(i) for i in range(80))
+            + " the of and to be"),                        # non-alpha words
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           text.gopher_quality_columns(df).collect()}
+    assert out[1]["gopher_pass"] is True
+    assert out[1]["n_req_stopwords"] >= 2
+    assert out[2]["gopher_pass"] is False and out[2]["n_words"] < 50
+    assert out[3]["bullet_line_ratio"] == 1.0
+    assert out[3]["gopher_pass"] is False  # > 0.9 bulleted lines
+    assert out[4]["gopher_pass"] is False
+    assert out[4]["symbol_word_ratio"] > 0.1
+    assert out[5]["gopher_pass"] is False
+    assert out[5]["alpha_word_ratio"] < 0.8

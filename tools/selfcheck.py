@@ -4,9 +4,12 @@ queries() entry and compares against oracle_sql() via DuckDB
 
 Usage: python tools/selfcheck.py [sf_dir] [query ...]
 
-Default sf_dir is sf0.01 — the scale the driver runs the gate at;
-the golden-parquet oracles are PINNED to sf0.01 outputs, so other
-sf dirs will (correctly) mismatch on the golden-backed queries.
+Default sf_dir is sf0.01 — the scale the driver runs the gate at; the
+golden-parquet oracles are PINNED to sf0.01 outputs.  For another sf
+dir, the golden reads are redirected to the matching
+data/golden_<tag>/ set when `tools/stage_golden.py <sf_dir>` has
+staged one (sf-robustness check); without a staged set the
+golden-backed queries will (correctly) mismatch.
 """
 
 from __future__ import annotations
@@ -45,6 +48,16 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oq = entrymod.queries(), entrymod.oracle_sql()
+
+    from tools.stage_golden import SF_DIR as DEFAULT_SF
+    from tools.stage_golden import golden_dir_for
+    if sf_dir.rstrip("/") != DEFAULT_SF:
+        alt = golden_dir_for(sf_dir)
+        if os.path.isdir(alt):
+            from log_parser_spark.datafiles import data_path
+            pinned = data_path("golden")
+            oq = {n: sql.replace(pinned, alt) for n, sql in oq.items()}
+            print(f"golden oracles redirected to {alt}")
     failures = []
     for name in sorted(qs):
         if only and name not in only:
