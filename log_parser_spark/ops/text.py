@@ -169,6 +169,90 @@ def gopher_quality_columns(df: DataFrame,
     return out.withColumn("gopher_pass", gopher_pass)
 
 
+def gopher_repetition_columns(df: DataFrame, key: str = "doc_id",
+                              text_col: str = "text") -> DataFrame:
+    """Gopher repetition rules (Rae et al. 2021 §A1.1, repetition
+    block) per document, all as array expressions over single
+    materializations (no explode/groupBy — the whole pass is one
+    codegen projection, no shuffle at 100 TB):
+
+    - dup_line_ratio: fraction of (non-empty) lines that are
+      duplicates of an earlier line            (Gopher drops > 0.30)
+    - dup_line_char_ratio: fraction of characters in such duplicate
+      lines                                    (Gopher drops > 0.20)
+    - top_bigram_char_ratio: fraction of characters covered by the
+      most frequent word 2-gram               (Gopher drops > 0.18)
+    - repetition_pass: all three thresholds hold
+
+    top_bigram_char_ratio uses the standard count*ngram_chars
+    approximation (as the public Gopher reproductions do): overlapping
+    occurrences each contribute full char weight, so pathological
+    single-token repeats can exceed 1.0 — exact char coverage would
+    need positional de-overlap for no filtering benefit.
+    """
+    t = F.col(text_col)
+    staged = df.withColumns({
+        "_toks": tokens_col(text_col),
+        "_lines": F.filter(F.split(t, r"\n"),
+                           lambda ln: F.length(F.trim(ln)) > 0),
+    })
+    n_lines = F.size("_lines")
+    nz_lines = F.greatest(n_lines, F.lit(1)).cast("double")
+    uniq_lines = F.array_distinct("_lines")
+    dup_lines = (n_lines - F.size(uniq_lines)).cast("double")
+    line_chars = F.aggregate(
+        "_lines", F.lit(0).cast("long"),
+        lambda acc, ln: acc + F.length(ln).cast("long"))
+    uniq_line_chars = F.aggregate(
+        uniq_lines, F.lit(0).cast("long"),
+        lambda acc, ln: acc + F.length(ln).cast("long"))
+    nz_line_chars = F.greatest(line_chars, F.lit(1)).cast("double")
+
+    # most-frequent word-bigram coverage: sort the bigram array, then a
+    # single linear fold finds the longest run of equal adjacent
+    # elements — O(n log n) per doc and pure codegen (a per-distinct-
+    # bigram count would be O(n^2) per doc: fatal on a 100k-word page)
+    from log_parser_spark.ops.dedup import shingles_col
+    n_words = F.size("_toks")
+    word_chars = F.aggregate(
+        "_toks", F.lit(0).cast("long"),
+        lambda acc, w: acc + F.length(w).cast("long"))
+    staged = staged.withColumn(
+        "_bg_sorted", F.array_sort(shingles_col(text_col, 2)))
+
+    def scan_step(acc, g):
+        run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        # chars covered by this run's bigram: run * (len - 1 joiner)
+        cov = (run * (F.length(g) - 1)).cast("long")
+        return F.struct(
+            g.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], cov).alias("best"))
+
+    top_bigram_chars = F.aggregate(
+        "_bg_sorted",
+        F.struct(F.lit("").alias("prev"),
+                 F.lit(0).cast("int").alias("run"),
+                 F.lit(0).cast("long").alias("best")),
+        scan_step, lambda acc: acc["best"])
+    nz_word_chars = F.greatest(word_chars, F.lit(1)).cast("double")
+
+    out = staged.withColumns({
+        "n_lines": n_lines.cast("long"),
+        "dup_line_ratio": F.round(dup_lines / nz_lines, 6),
+        "dup_line_char_ratio": F.round(
+            (line_chars - uniq_line_chars).cast("double")
+            / nz_line_chars, 6),
+        "top_bigram_char_ratio": F.round(
+            F.when(n_words >= 2,
+                   top_bigram_chars.cast("double") / nz_word_chars)
+            .otherwise(F.lit(0.0)), 6),
+    }).drop("_toks", "_lines", "_bg_sorted")
+    rep_pass = ((F.col("dup_line_ratio") <= 0.30) &
+                (F.col("dup_line_char_ratio") <= 0.20) &
+                (F.col("top_bigram_char_ratio") <= 0.18))
+    return out.withColumn("repetition_pass", rep_pass)
+
+
 def stopword_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: argmax of stopword hit counts (ties ->
     'und' when no stopwords hit at all)."""

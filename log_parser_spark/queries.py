@@ -1729,7 +1729,7 @@ _DRIVER_ORDER = [
     "log_running_live_size", "log_read_density", "log_cumulative_writes",
     "log_job_cf", "log_quarantine_stats",
     "url_canonical_sorted", "cosine_drop_accounting", "ann_recall_ivf",
-    "gopher_quality",
+    "gopher_quality", "gopher_repetition",
     # -- tier 2: SURVEY §2 log_* surface (D-green r01-r03)
     "log_route_counts", "log_event_histogram", "log_counters_last",
     "log_flush_pairs", "log_flush_stats", "log_compression_stats",

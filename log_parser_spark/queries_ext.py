@@ -789,6 +789,69 @@ FROM r
 """
 
 
+def gopher_repetition(spark, sf_dir):
+    """Gopher repetition-filter metrics (Rae et al. 2021 §A1.1) per doc
+    (ops/text.gopher_repetition_columns): duplicate-line fractions +
+    most-frequent-bigram char coverage, single codegen projection (the
+    bigram max is a sort + linear fold, never per-distinct-gram)."""
+    from log_parser_spark.ops import text as T
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return T.gopher_repetition_columns(docs).select(
+        "doc_id", "n_lines", "dup_line_ratio", "dup_line_char_ratio",
+        "top_bigram_char_ratio", "repetition_pass")
+
+
+GOPHER_REPETITION_SQL = r"""
+WITH q AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks,
+    list_filter(string_split(text, chr(10)),
+                ln -> length(trim(ln)) > 0) AS lines
+  FROM documents),
+base AS (
+  SELECT doc_id, lines,
+    len(lines)::BIGINT AS n_lines,
+    greatest(len(lines), 1)::DOUBLE AS nzl,
+    coalesce(list_sum(list_transform(lines, ln -> length(ln))),
+             0)::DOUBLE AS line_chars,
+    coalesce(list_sum(list_transform(list_distinct(lines),
+                                     ln -> length(ln))),
+             0)::DOUBLE AS uniq_line_chars,
+    len(toks) AS n_words,
+    greatest(coalesce(list_sum(list_transform(toks, w -> length(w))),
+                      0), 1)::DOUBLE AS nz_word_chars,
+    CASE WHEN len(toks) >= 2 THEN
+      list_transform(generate_series(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i + 1])
+    ELSE []::VARCHAR[] END AS bigrams
+  FROM q),
+top AS (
+  SELECT doc_id, max(cnt * (length(g) - 1)) AS top_chars FROM (
+    SELECT doc_id, g, count(*) AS cnt
+    FROM (SELECT doc_id, unnest(bigrams) AS g FROM base)
+    GROUP BY doc_id, g)
+  GROUP BY doc_id),
+r AS (
+  SELECT b.doc_id, b.n_lines,
+    CAST(round((b.n_lines - len(list_distinct(b.lines))) / b.nzl, 6)
+         AS DOUBLE) AS dup_line_ratio,
+    CAST(round((b.line_chars - b.uniq_line_chars)
+               / greatest(b.line_chars, 1.0), 6)
+         AS DOUBLE) AS dup_line_char_ratio,
+    CAST(round(CASE WHEN b.n_words >= 2
+                    THEN coalesce(t.top_chars, 0) / b.nz_word_chars
+                    ELSE 0.0 END, 6)
+         AS DOUBLE) AS top_bigram_char_ratio
+  FROM base b LEFT JOIN top t USING (doc_id))
+SELECT doc_id, n_lines, dup_line_ratio, dup_line_char_ratio,
+       top_bigram_char_ratio,
+       (dup_line_ratio <= 0.30 AND dup_line_char_ratio <= 0.20
+        AND top_bigram_char_ratio <= 0.18) AS repetition_pass
+FROM r
+"""
+
+
 # -------------------------------------------- ANN recall accounting (r4)
 
 def ann_recall_ivf(spark, sf_dir):
@@ -850,6 +913,7 @@ QUERIES_EXT = {
     "cosine_drop_accounting": cosine_drop_accounting,
     "ann_recall_ivf": ann_recall_ivf,
     "gopher_quality": gopher_quality,
+    "gopher_repetition": gopher_repetition,
 }
 
 ORACLE_SQL_EXT = {
@@ -873,6 +937,7 @@ ORACLE_SQL_EXT = {
     "url_canonical_dedup": URL_CANONICAL_SQL,
     "url_canonical_sorted": URL_CANONICAL_SORTED_SQL,
     "gopher_quality": GOPHER_QUALITY_SQL,
+    "gopher_repetition": GOPHER_REPETITION_SQL,
 }
 
 # -------------------------------------------- golden-parquet oracles

@@ -556,3 +556,27 @@ def test_gopher_quality_rules(spark):
     assert out[4]["symbol_word_ratio"] > 0.1
     assert out[5]["gopher_pass"] is False
     assert out[5]["alpha_word_ratio"] < 0.8
+
+
+def test_gopher_repetition_rules(spark):
+    """Repetition metrics on planted docs: duplicate lines and a
+    dominant bigram each trip their rule; clean text passes."""
+    rows = [
+        (1, "one two three four five six seven eight nine ten "
+            "eleven twelve thirteen fourteen fifteen sixteen "
+            "seventeen eighteen nineteen twenty"),
+        (2, "dup line\ndup line\ndup line\nunique line here"),
+        (3, "spam ham spam ham spam ham spam ham spam ham"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           text.gopher_repetition_columns(df).collect()}
+    assert out[1]["dup_line_ratio"] == 0.0
+    assert out[1]["repetition_pass"] is True  # all bigrams singletons
+    assert out[2]["dup_line_ratio"] == 0.5       # 2 of 4 lines repeat
+    assert out[2]["dup_line_char_ratio"] == 0.4  # 16 of 40 chars
+    assert out[2]["repetition_pass"] is False
+    assert out[3]["top_bigram_char_ratio"] == 1.0  # 5x 'spam ham'
+    assert out[3]["repetition_pass"] is False
+    assert out[4]["n_lines"] == 0 and out[4]["repetition_pass"] is True

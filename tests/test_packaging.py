@@ -68,7 +68,8 @@ def test_driver_query_order_puts_critical_queries_first():
         "log_cumulative_writes", "log_cf_stalls", "log_cf_lifetime",
         "log_job_cf", "log_quarantine_stats", "url_canonical_dedup",
         "lsh_drop_accounting", "url_canonical_sorted",
-        "cosine_drop_accounting", "ann_recall_ivf", "gopher_quality"}
+        "cosine_drop_accounting", "ann_recall_ivf", "gopher_quality",
+        "gopher_repetition"}
     assert set(names[:len(never_checked)]) == never_checked
 
     # the full log_* reference surface is driver-visible in any >=50 cap

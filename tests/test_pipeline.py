@@ -31,6 +31,9 @@ def test_pipeline_end_to_end(spark, pages_path, tmp_path):
             for f in sorted(os.listdir(lin))]
     assert all(r["rows_in"] > 0 and r["splits"] for r in rows)
     assert sum(r["rows_in"] for r in rows) == 48
+    # the audit can tell the exact footer count from the approximate
+    # accumulator count (splits path -> exact)
+    assert all(r["rows_in_method"] == "split_footers" for r in rows)
 
 
 def test_pipeline_resume_skips_done(spark, pages_path, tmp_path):
@@ -104,3 +107,19 @@ def test_pipeline_disjoint_shard_workers(spark, pages_path, tmp_path):
                       n_buckets=4, only_buckets=[1, 2], resume=True,
                       epoch=1, sink_names=["quarantine"])
     assert m3["buckets"] == []
+
+
+def test_pipeline_hash_bucket_mode_lineage_method(spark, pages_path,
+                                                  tmp_path):
+    """DataFrame-source mode buckets by url hash and counts rows_in via
+    an accumulator; the lineage row must disclose that the count is the
+    approximate accumulator method (re-applied on task retries), not
+    the exact split_footers count."""
+    out = str(tmp_path / "out_hash")
+    pages = spark.read.parquet(pages_path)
+    m = run_pipeline(spark, out, pages=pages, n_buckets=2,
+                     sink_names=["quarantine"])
+    assert len(m["buckets"]) == 2
+    assert all(b["rows_in_method"] == "accumulator" for b in m["buckets"])
+    # no retries in a healthy local run -> accumulator count is exact
+    assert sum(b["rows_in"] for b in m["buckets"]) == 48
