@@ -50,3 +50,51 @@ def corpus_cleaning_flags(docs: DataFrame, key: str = "doc_id",
               .otherwise("kept"))
     return j.select(key, reason.alias("reason")).withColumn(
         "kept", F.col("reason") == "kept")
+
+
+# C4 cleaning rules (Raffel et al. 2020, "Exploring the Limits of
+# Transfer Learning...", §2.2 — the public C4 heuristics), line-level
+# filter + document-level flags, all pure codegen.
+C4_MIN_LINE_WORDS = 5
+C4_MIN_SENTENCES = 3
+_C4_TERMINAL = r'[.!?"”]$'
+
+
+def c4_clean_columns(docs: DataFrame, key: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """C4's line filter + page flags in one projection:
+
+    - keep only lines ending in terminal punctuation, with >=
+      C4_MIN_LINE_WORDS words, not containing 'javascript'
+    - cleaned_text = surviving lines re-joined
+    - c4_keep: >= C4_MIN_SENTENCES sentences survive (approximated as
+      terminal-punct count, as public reproductions do) AND the page
+      has no 'lorem ipsum' and no '{'
+
+    One lines materialization; the whole pass is a map-only projection
+    (zero shuffles at 100 TB)."""
+    t = F.col(text_col)
+    staged = docs.withColumn(
+        "_lines", F.filter(F.split(t, r"\n"),
+                           lambda ln: F.length(F.trim(ln)) > 0))
+
+    def line_ok(ln):
+        tr = F.trim(ln)
+        return (tr.rlike(_C4_TERMINAL)
+                & (F.size(F.split(tr, r"\s+")) >= C4_MIN_LINE_WORDS)
+                & ~F.lower(ln).contains("javascript"))
+
+    staged = staged.withColumn("_kept", F.filter("_lines", line_ok))
+    cleaned = F.array_join("_kept", "\n")
+    out = staged.withColumns({
+        "n_lines_total": F.size("_lines").cast("long"),
+        "n_lines_kept": F.size("_kept").cast("long"),
+        "cleaned_text": cleaned,
+        "n_sentences": F.regexp_count(cleaned, F.lit(r"[.!?]"))
+        .cast("long"),
+        "has_lorem_ipsum": F.lower(t).contains("lorem ipsum"),
+        "has_curly_brace": t.contains("{"),
+    }).drop("_lines", "_kept")
+    keep = ((F.col("n_sentences") >= C4_MIN_SENTENCES)
+            & ~F.col("has_lorem_ipsum") & ~F.col("has_curly_brace"))
+    return out.withColumn("c4_keep", keep)

@@ -1,0 +1,59 @@
+"""Deterministic sampling / data-mixing operators.
+
+A 100 TB pre-training pipeline mixes sources by ratio ("50% en, 10%
+each other language").  Spark's df.sample/sampleBy is seeded but its
+keep-decision is partition-dependent (Bernoulli over a per-partition
+RNG stream), so results change with partitioning and cannot be
+reproduced by another engine.  These operators instead hash a KEY
+column: keep a row iff the first 8 hex chars of md5(key || ':' ||
+seed) fall under the fraction's threshold.  Properties:
+
+- map-only projection: zero shuffles, trivially scales
+- partitioning-independent and engine-independent: any system with
+  md5 reproduces the exact same sample (the DuckDB oracle does)
+- per-key stable: the same document is kept in every run / engine
+- disjoint seeds give independent samples (new seed, new hash)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_DIGITS = 8  # 32-bit resolution: fraction granularity 2**-32
+
+
+def _threshold_hex(fraction: float) -> str:
+    f = min(max(fraction, 0.0), 1.0)
+    return format(int(round(f * (16 ** _HEX_DIGITS))), f"0{_HEX_DIGITS}x")
+
+
+def sample_hash_col(key: str | Column, seed: int = 42) -> Column:
+    """The 8-hex-char decision hash for a key (exposed for mirroring)."""
+    k = F.col(key) if isinstance(key, str) else key
+    return F.substring(
+        F.md5(F.concat(k.cast("string"), F.lit(f":{seed}"))),
+        1, _HEX_DIGITS)
+
+
+def deterministic_sample(df: DataFrame, key: str, fraction: float,
+                         seed: int = 42) -> DataFrame:
+    """Keep ~fraction of rows, decided per key hash (see module doc)."""
+    if fraction >= 1.0:
+        return df
+    return df.filter(sample_hash_col(key, seed) < _threshold_hex(fraction))
+
+
+def stratified_sample(df: DataFrame, strata_col: str,
+                      fractions: dict[str, float], key: str,
+                      default_fraction: float = 0.0,
+                      seed: int = 42) -> DataFrame:
+    """Per-stratum deterministic sampling (the data-mixing primitive):
+    each stratum keeps its own fraction; strata absent from the map
+    keep ``default_fraction``.  Single map-only filter — the fraction
+    lookup compiles to a CASE chain, never a join."""
+    thresh = F.lit(_threshold_hex(default_fraction))
+    for value, frac in sorted(fractions.items()):
+        thresh = F.when(F.col(strata_col) == value,
+                        F.lit(_threshold_hex(frac))).otherwise(thresh)
+    return df.filter(sample_hash_col(key, seed) < thresh)

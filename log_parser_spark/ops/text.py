@@ -270,7 +270,34 @@ def stopword_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("pred_lang", pred).drop("_toks")
 
 
-# Dual 31-bit Mersenne polynomial rolling hash, combined into one
+# PII patterns (the standard pre-training scrub set: emails, phone
+# numbers, IPv4).  Kept to RE2-compatible syntax (no lookaround, no
+# backreferences) so the Spark (Java regex) and DuckDB (RE2) engines
+# match identically — the cross-engine oracle would catch drift.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\+\d{1,3}[- ]\d{3}[- ]\d{3,4}[- ]?\d{0,4}",
+}
+_PII_ORDER = ["email", "ip", "phone"]  # email first: it contains dots/digits
+
+
+def redact_pii_columns(df: DataFrame, text_col: str = "text",
+                       out_col: str = "redacted_text") -> DataFrame:
+    """Detect + redact PII as chained codegen regexp_replace (one
+    projection, no UDF): per-type match counts and the redacted text
+    with `<TYPE>` placeholders.  Counting happens BEFORE redaction on
+    the original text; replacement is applied in _PII_ORDER so an
+    email's digits can never be re-matched as a phone."""
+    t = F.col(text_col)
+    counts = {f"n_{name}s": F.regexp_count(
+        t, F.lit(PII_PATTERNS[name])).cast("long")
+        for name in _PII_ORDER}
+    red = t
+    for name in _PII_ORDER:
+        red = F.regexp_replace(red, PII_PATTERNS[name],
+                               f"<{name.upper()}>")
+    return df.withColumns({**counts, out_col: red})
 # 62-bit fingerprint.  The Mersenne-31 modulus keeps every intermediate
 # inside int64 (weights < 2^31, byte*weight < 2^39, a 4096-term block
 # sum < 2^51, carry*base^block < 2^62), so the inner loop is pure numpy

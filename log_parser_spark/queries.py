@@ -1729,7 +1729,8 @@ _DRIVER_ORDER = [
     "log_running_live_size", "log_read_density", "log_cumulative_writes",
     "log_job_cf", "log_quarantine_stats",
     "url_canonical_sorted", "cosine_drop_accounting", "ann_recall_ivf",
-    "gopher_quality", "gopher_repetition",
+    "gopher_quality", "gopher_repetition", "pii_scrub", "c4_clean",
+    "stratified_sample_mix",
     # -- tier 2: SURVEY §2 log_* surface (D-green r01-r03)
     "log_route_counts", "log_event_histogram", "log_counters_last",
     "log_flush_pairs", "log_flush_stats", "log_compression_stats",
@@ -1739,10 +1740,11 @@ _DRIVER_ORDER = [
     "log_parsed_json_report", "log_compactions", "log_stall_totals",
     "log_blob_stats", "log_domain_rollup", "log_seek_stats",
     "log_filter_effectiveness", "log_growth_total", "log_block_cache",
-    # -- tier 3: dedup / ANN core (D-green r01-r03)
+    # ------------------------------- position 50 boundary (27+22=49) --
+    # -- tier 3: dedup / ANN core (D-green r01-r03; first entry still
+    #    inside a 50-cap, rest immediately after)
     "dedup_exact_docs", "minhash_pairs", "simhash_docs",
     "simhash_near_pairs", "embedding_cosine_dedup", "embedding_ann_ivf",
-    # ---------------------------------------- position 50 boundary --
     # -- tier 4: longest-proven text/multimodal/relational queries
     "doc_fingerprints", "ngram_jaccard_adjacent", "doc_quality",
     "lang_id_counts", "token_stats_by_lang", "bpe_token_stats",

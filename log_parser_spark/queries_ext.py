@@ -1,12 +1,19 @@
-"""Driver queries (round 3) for the operators that previously had only
-pytest parity evidence: the S3/S4 sink grids, the report-embedded
-aggregates A2/A5/A7/A8/A12/A16/A20, the S8 files sink and the P21
-memory-report rollup.  Each entry follows the established pattern: a
-Spark builder over the staged records parquet + a DuckDB oracle SQL
-over the same file, with every aggregate aliased identically on both
-sides.
+"""Driver queries (rounds 3-4) beyond the base registry.
 
-Reference parity anchors (file:line) are on each builder's docstring.
+Round 3: operators that previously had only pytest parity evidence —
+the S3/S4 sink grids, the report-embedded aggregates
+A2/A5/A7/A8/A12/A16/A20, the S8 files sink, the P21 memory-report
+rollup — plus LSH drop accounting and crawl-URL canonicalization.
+
+Round 4: the drop/recall accounting siblings (cosine buckets, ANN
+recall@k), sorted-query URL canonicalization, and the standard
+web-corpus curation set: Gopher quality + repetition rules, C4
+cleaning rules, PII scrubbing, deterministic stratified sampling.
+
+Each entry follows the established pattern: a Spark builder + a DuckDB
+oracle SQL over the same inputs, with every aggregate aliased
+identically on both sides.  Reference parity anchors (file:line) are
+on each builder's docstring where a reference behavior is mirrored.
 """
 
 from __future__ import annotations
@@ -852,6 +859,149 @@ FROM r
 """
 
 
+# ------------------------------------- deterministic data mixing (r4)
+
+_MIX_FRACTIONS = {"en": 0.5, "de": 0.25}
+_MIX_DEFAULT = 0.1
+_MIX_SEED = 7
+
+
+def stratified_sample_mix(spark, sf_dir):
+    """Data-mixing primitive (ops/sampling.stratified_sample): keep
+    50% of en, 25% of de, 10% of everything else, decided per doc_id
+    hash — map-only, partitioning-independent, and reproduced EXACTLY
+    by the DuckDB oracle (the whole point: the sample a 100 TB run
+    keeps is auditable by any engine with md5).  Returns per-lang
+    population vs sampled counts."""
+    from log_parser_spark.ops import sampling
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "lang"))
+    kept = sampling.stratified_sample(
+        docs, "lang", _MIX_FRACTIONS, key="doc_id",
+        default_fraction=_MIX_DEFAULT, seed=_MIX_SEED)
+    pop = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    sam = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+    return (pop.join(sam, "lang", "left")
+            .select("lang", "n_docs",
+                    F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+                    F.round(F.coalesce("n_sampled", F.lit(0))
+                            / F.col("n_docs"), 6).alias("sample_rate")))
+
+
+def _mix_sql():
+    from log_parser_spark.ops.sampling import _threshold_hex
+    cases = " ".join(
+        f"WHEN '{v}' THEN '{_threshold_hex(f)}'"
+        for v, f in sorted(_MIX_FRACTIONS.items()))
+    return f"""
+WITH s AS (SELECT lang, doc_id,
+  substr(md5(doc_id::VARCHAR || ':{_MIX_SEED}'), 1, 8) AS h,
+  CASE lang {cases} ELSE '{_threshold_hex(_MIX_DEFAULT)}' END AS th
+  FROM documents)
+SELECT lang, count(*)::BIGINT AS n_docs,
+  sum(CASE WHEN h < th THEN 1 ELSE 0 END)::BIGINT AS n_sampled,
+  CAST(round(sum(CASE WHEN h < th THEN 1 ELSE 0 END)
+             / count(*), 6) AS DOUBLE) AS sample_rate
+FROM s GROUP BY lang
+"""
+
+
+STRATIFIED_SAMPLE_SQL = _mix_sql()
+
+
+# ---------------------------------------------- C4 cleaning rules (r4)
+
+def c4_clean(spark, sf_dir):
+    """C4 line filter + page flags (ops/cleaning.c4_clean_columns):
+    per-doc kept-line counts, sentence count, lorem/brace flags, keep
+    verdict, and the md5 of the cleaned text — the md5 pins the
+    line-filter semantics across engines."""
+    from log_parser_spark.ops import cleaning
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text"))
+    out = cleaning.c4_clean_columns(docs)
+    return out.select(
+        "doc_id", "n_lines_total", "n_lines_kept", "n_sentences",
+        "has_lorem_ipsum", "has_curly_brace", "c4_keep",
+        F.md5("cleaned_text").alias("cleaned_md5"))
+
+
+C4_CLEAN_SQL = r"""
+WITH q AS (SELECT doc_id, text,
+  list_filter(string_split(text, chr(10)),
+              ln -> length(trim(ln)) > 0) AS lines
+  FROM documents),
+k AS (SELECT doc_id, text, lines,
+  list_filter(lines, ln ->
+     regexp_matches(trim(ln), '[.!?"”]$')
+     AND len(regexp_split_to_array(trim(ln), '\s+')) >= 5
+     AND NOT contains(lower(ln), 'javascript')) AS kept
+  FROM q),
+r AS (SELECT doc_id,
+  len(lines)::BIGINT AS n_lines_total,
+  len(kept)::BIGINT AS n_lines_kept,
+  coalesce(array_to_string(kept, chr(10)), '') AS cleaned,
+  contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+  contains(text, '{') AS has_curly_brace
+  FROM k)
+SELECT doc_id, n_lines_total, n_lines_kept,
+  len(regexp_extract_all(cleaned, '[.!?]'))::BIGINT AS n_sentences,
+  has_lorem_ipsum, has_curly_brace,
+  (len(regexp_extract_all(cleaned, '[.!?]')) >= 3
+   AND NOT has_lorem_ipsum AND NOT has_curly_brace) AS c4_keep,
+  md5(cleaned) AS cleaned_md5
+FROM r
+"""
+
+
+# ------------------------------------------------- PII scrubbing (r4)
+
+def pii_scrub(spark, sf_dir):
+    """PII detect + redact (ops/text.redact_pii_columns): plant one
+    deterministic email / phone / IPv4 per document, then count and
+    redact — the per-type counts and the md5 of the redacted text must
+    agree with the DuckDB mirror running the SAME RE2-compatible
+    patterns, which pins the chained-regexp_replace semantics across
+    engines."""
+    from log_parser_spark.ops import text as T
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text"))
+    d = F.col("doc_id").cast("string")
+    planted = docs.withColumn("text", F.concat(
+        "text",
+        F.lit(" contact user"), d, F.lit("@example.com at +1-555-010-"),
+        F.lpad(F.pmod("doc_id", F.lit(10000)).cast("string"), 4, "0"),
+        F.lit(" from 10.0."),
+        F.pmod("doc_id", F.lit(256)).cast("string"), F.lit(".7")))
+    out = T.redact_pii_columns(planted)
+    return out.select(
+        "doc_id", "n_emails", "n_ips", "n_phones",
+        F.md5("redacted_text").alias("redacted_md5"))
+
+
+_PII_PLANT_SQL = ("text || ' contact user' || doc_id::VARCHAR"
+                  " || '@example.com at +1-555-010-'"
+                  " || lpad((doc_id % 10000)::VARCHAR, 4, '0')"
+                  " || ' from 10.0.' || (doc_id % 256)::VARCHAR || '.7'")
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+_PII_PHONE = r"\+\d{1,3}[- ]\d{3}[- ]\d{3,4}[- ]?\d{0,4}"
+
+PII_SCRUB_SQL = f"""
+WITH p AS (SELECT doc_id, {_PII_PLANT_SQL} AS text FROM documents)
+SELECT doc_id,
+  len(regexp_extract_all(text, '{_PII_EMAIL}'))::BIGINT AS n_emails,
+  len(regexp_extract_all(text, '{_PII_IP}'))::BIGINT AS n_ips,
+  len(regexp_extract_all(text, '{_PII_PHONE}'))::BIGINT AS n_phones,
+  md5(regexp_replace(regexp_replace(regexp_replace(text,
+      '{_PII_EMAIL}', '<EMAIL>', 'g'),
+      '{_PII_IP}', '<IP>', 'g'),
+      '{_PII_PHONE}', '<PHONE>', 'g')) AS redacted_md5
+FROM p
+"""
+
+
 # -------------------------------------------- ANN recall accounting (r4)
 
 def ann_recall_ivf(spark, sf_dir):
@@ -914,6 +1064,9 @@ QUERIES_EXT = {
     "ann_recall_ivf": ann_recall_ivf,
     "gopher_quality": gopher_quality,
     "gopher_repetition": gopher_repetition,
+    "pii_scrub": pii_scrub,
+    "c4_clean": c4_clean,
+    "stratified_sample_mix": stratified_sample_mix,
 }
 
 ORACLE_SQL_EXT = {
@@ -938,6 +1091,9 @@ ORACLE_SQL_EXT = {
     "url_canonical_sorted": URL_CANONICAL_SORTED_SQL,
     "gopher_quality": GOPHER_QUALITY_SQL,
     "gopher_repetition": GOPHER_REPETITION_SQL,
+    "pii_scrub": PII_SCRUB_SQL,
+    "c4_clean": C4_CLEAN_SQL,
+    "stratified_sample_mix": STRATIFIED_SAMPLE_SQL,
 }
 
 # -------------------------------------------- golden-parquet oracles

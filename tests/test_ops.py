@@ -580,3 +580,87 @@ def test_gopher_repetition_rules(spark):
     assert out[3]["top_bigram_char_ratio"] == 1.0  # 5x 'spam ham'
     assert out[3]["repetition_pass"] is False
     assert out[4]["n_lines"] == 0 and out[4]["repetition_pass"] is True
+
+
+def test_pii_redaction(spark):
+    """Counts on the original text, placeholders in the redacted one;
+    an email's digits are never re-matched as phone/IP."""
+    rows = [
+        (1, "write to jane.doe+x@mail.example.org or call +44-207-946-0958"),
+        (2, "server at 192.168.1.17 and 10.0.0.1, no contacts"),
+        (3, "clean document with no identifiers at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in text.redact_pii_columns(df).collect()}
+    assert (out[1]["n_emails"], out[1]["n_phones"], out[1]["n_ips"]) \
+        == (1, 1, 0)
+    assert "<EMAIL>" in out[1]["redacted_text"]
+    assert "<PHONE>" in out[1]["redacted_text"]
+    assert "jane.doe" not in out[1]["redacted_text"]
+    assert out[2]["n_ips"] == 2 and out[2]["n_emails"] == 0
+    assert out[2]["redacted_text"].count("<IP>") == 2
+    assert out[3]["redacted_text"] == rows[2][1]  # untouched
+
+
+def test_c4_clean_rules(spark):
+    """C4 line filter: terminal punctuation + min words + javascript
+    drop; page flags for lorem ipsum / curly braces."""
+    from log_parser_spark.ops import cleaning
+    rows = [
+        (1, "This is a proper sentence with enough words.\n"
+            "short line.\n"
+            "no terminal punctuation on this long enough line\n"
+            "Another good sentence follows right here today!\n"
+            "Please enable javascript to view this page now."),
+        (2, "Lorem ipsum dolor sit amet, consectetur adipiscing elit.\n"
+            "A second real sentence lives right here today.\n"
+            "And a third one closes out the document nicely."),
+        (3, "function() { return 1; } is code not prose.\n"
+            "But this line is a fine sentence with words.\n"
+            "And here is another complete sentence to count.\n"
+            "Plus one more full sentence for the minimum."),
+        (4, "One good sentence is simply not enough here."),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           cleaning.c4_clean_columns(df).collect()}
+    # doc 1: 5 lines -> keep 2 (short, unterminated, javascript drop)
+    assert (out[1]["n_lines_total"], out[1]["n_lines_kept"]) == (5, 2)
+    assert "javascript" not in out[1]["cleaned_text"]
+    assert out[1]["c4_keep"] is False  # only 2 sentences survive
+    # doc 2: lorem ipsum page flag kills it despite 3 sentences
+    assert out[2]["n_sentences"] >= 3
+    assert out[2]["has_lorem_ipsum"] is True
+    assert out[2]["c4_keep"] is False
+    # doc 3: curly brace page flag
+    assert out[3]["has_curly_brace"] is True and out[3]["c4_keep"] is False
+    # doc 4: clean but under the sentence minimum
+    assert out[4]["c4_keep"] is False and out[4]["n_lines_kept"] == 1
+
+
+def test_deterministic_sampling(spark):
+    """Hash-threshold sampling: per-key stable, partitioning-
+    independent, stratum fractions approximately honored, and the
+    decision is pure md5 (re-derivable outside Spark)."""
+    import hashlib
+
+    from log_parser_spark.ops import sampling
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    kept1 = {r["doc_id"] for r in sampling.deterministic_sample(
+        df, "doc_id", 0.3, seed=9).collect()}
+    kept2 = {r["doc_id"] for r in sampling.deterministic_sample(
+        df.repartition(7), "doc_id", 0.3, seed=9).collect()}
+    assert kept1 == kept2  # partitioning-independent
+    assert 0.25 < len(kept1) / 2000 < 0.35
+    # the keep decision is plain md5 — recompute one row by hand
+    some = next(iter(kept1))
+    h = hashlib.md5(f"{some}:9".encode()).hexdigest()[:8]
+    assert h < sampling._threshold_hex(0.3)
+
+    strat = sampling.stratified_sample(
+        df, "lang", {"en": 0.5}, key="doc_id",
+        default_fraction=0.05, seed=9).groupBy("lang").count().collect()
+    by_lang = {r["lang"]: r["count"] for r in strat}
+    assert 400 < by_lang["en"] < 600      # ~50% of 1000
+    assert 20 <= by_lang.get("de", 0) < 110  # ~5% of 1000
