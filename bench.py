@@ -134,6 +134,8 @@ def main():
         "doc_quality", "minhash_pairs", "simhash_docs", "embedding_topk",
         "embedding_topk_arrow", "embedding_ann_ivf", "media_frame_stats",
         "log_growth_total", "log_parsed_json_report",
+        "gopher_quality", "gopher_repetition", "pii_scrub", "c4_clean",
+        "stratified_sample_mix",
     ]
     # best-of-N for queries whose single-shot time flaps in this
     # sandbox's ±40% hypervisor noise band (r2->r3 the json report

