@@ -85,16 +85,18 @@ def c4_clean_columns(docs: DataFrame, key: str = "doc_id",
                 & ~F.lower(ln).contains("javascript"))
 
     staged = staged.withColumn("_kept", F.filter("_lines", line_ok))
-    cleaned = F.array_join("_kept", "\n")
+    # cleaned_text staged first so n_sentences reads the materialized
+    # column instead of re-joining the array (same CSE rule as tokens)
     out = staged.withColumns({
         "n_lines_total": F.size("_lines").cast("long"),
         "n_lines_kept": F.size("_kept").cast("long"),
-        "cleaned_text": cleaned,
-        "n_sentences": F.regexp_count(cleaned, F.lit(r"[.!?]"))
-        .cast("long"),
+        "cleaned_text": F.array_join("_kept", "\n"),
         "has_lorem_ipsum": F.lower(t).contains("lorem ipsum"),
         "has_curly_brace": t.contains("{"),
-    }).drop("_lines", "_kept")
+    }).withColumn(
+        "n_sentences",
+        F.regexp_count("cleaned_text", F.lit(r"[.!?]")).cast("long")
+    ).drop("_lines", "_kept")
     keep = ((F.col("n_sentences") >= C4_MIN_SENTENCES)
             & ~F.col("has_lorem_ipsum") & ~F.col("has_curly_brace"))
     return out.withColumn("c4_keep", keep)

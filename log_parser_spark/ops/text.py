@@ -196,15 +196,15 @@ def gopher_repetition_columns(df: DataFrame, key: str = "doc_id",
         "_lines": F.filter(F.split(t, r"\n"),
                            lambda ln: F.length(F.trim(ln)) > 0),
     })
+    staged = staged.withColumn("_uniq_lines", F.array_distinct("_lines"))
     n_lines = F.size("_lines")
     nz_lines = F.greatest(n_lines, F.lit(1)).cast("double")
-    uniq_lines = F.array_distinct("_lines")
-    dup_lines = (n_lines - F.size(uniq_lines)).cast("double")
+    dup_lines = (n_lines - F.size("_uniq_lines")).cast("double")
     line_chars = F.aggregate(
         "_lines", F.lit(0).cast("long"),
         lambda acc, ln: acc + F.length(ln).cast("long"))
     uniq_line_chars = F.aggregate(
-        uniq_lines, F.lit(0).cast("long"),
+        "_uniq_lines", F.lit(0).cast("long"),
         lambda acc, ln: acc + F.length(ln).cast("long"))
     nz_line_chars = F.greatest(line_chars, F.lit(1)).cast("double")
 
@@ -246,7 +246,7 @@ def gopher_repetition_columns(df: DataFrame, key: str = "doc_id",
             F.when(n_words >= 2,
                    top_bigram_chars.cast("double") / nz_word_chars)
             .otherwise(F.lit(0.0)), 6),
-    }).drop("_toks", "_lines", "_bg_sorted")
+    }).drop("_toks", "_lines", "_uniq_lines", "_bg_sorted")
     rep_pass = ((F.col("dup_line_ratio") <= 0.30) &
                 (F.col("dup_line_char_ratio") <= 0.20) &
                 (F.col("top_bigram_char_ratio") <= 0.18))
