@@ -57,7 +57,7 @@ def corpus_cleaning_flags(docs: DataFrame, key: str = "doc_id",
 # filter + document-level flags, all pure codegen.
 C4_MIN_LINE_WORDS = 5
 C4_MIN_SENTENCES = 3
-_C4_TERMINAL = r'[.!?"”]$'
+_C4_TERMINAL = r'[.!?"”]\s*$'
 
 
 def c4_clean_columns(docs: DataFrame, key: str = "doc_id",
@@ -76,12 +76,16 @@ def c4_clean_columns(docs: DataFrame, key: str = "doc_id",
     t = F.col(text_col)
     staged = docs.withColumn(
         "_lines", F.filter(F.split(t, r"\n"),
-                           lambda ln: F.length(F.trim(ln)) > 0))
+                           lambda ln: ln.rlike(r"\S")))
 
     def line_ok(ln):
-        tr = F.trim(ln)
-        return (tr.rlike(_C4_TERMINAL)
-                & (F.size(F.split(tr, r"\s+")) >= C4_MIN_LINE_WORDS)
+        # whitespace-robust: terminal punct modulo trailing whitespace,
+        # word count as non-empty split pieces (Spark trim strips only
+        # spaces, so trim-based variants miss tabs)
+        return (ln.rlike(_C4_TERMINAL)
+                & (F.size(F.filter(F.split(ln, r"\s+"),
+                                   lambda w: w != ""))
+                   >= C4_MIN_LINE_WORDS)
                 & ~F.lower(ln).contains("javascript"))
 
     staged = staged.withColumn("_kept", F.filter("_lines", line_ok))

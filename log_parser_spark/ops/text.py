@@ -21,10 +21,15 @@ STOPWORDS = {
 
 
 def tokens_col(text: str | Column = "text") -> Column:
-    """Whitespace tokens; empty text -> empty array."""
+    """Whitespace tokens; empty / whitespace-only text -> empty array.
+
+    Split then drop empty strings — NOT trim-then-split: Spark's trim
+    strips only the space character, so a leading newline/tab would
+    leave a phantom '' token (found by the Python differential in
+    tests/test_property_curation.py; the DuckDB oracle had mirrored
+    the same trim and couldn't see it)."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.when(F.length(F.trim(c)) == 0, F.array().cast("array<string>")) \
-        .otherwise(F.split(F.trim(c), r"\s+"))
+    return F.filter(F.split(c, r"\s+"), lambda x: x != "")
 
 
 def token_count_col(text: str | Column = "text") -> Column:
@@ -113,8 +118,10 @@ def gopher_quality_columns(df: DataFrame,
     t = F.col(text_col)
     staged = df.withColumns({
         "_toks": tokens_col(text_col),
+        # non-blank lines: rlike(\S), not trim-length (Spark trim
+        # strips spaces only — a tab-only line is blank too)
         "_lines": F.filter(F.split(t, r"\n"),
-                           lambda ln: F.length(F.trim(ln)) > 0),
+                           lambda ln: ln.rlike(r"\S")),
     })
     n_words = F.size("_toks").cast("long")
     nz_words = F.greatest(n_words, F.lit(1)).cast("double")
@@ -131,12 +138,12 @@ def gopher_quality_columns(df: DataFrame,
     symbol_ratio = F.round(n_symbols / nz_words, 6)
 
     bullet_lines = F.size(F.filter(
-        "_lines", lambda ln: F.trim(ln).rlike(r"^[•\-\*]")))
+        "_lines", lambda ln: ln.rlike(r"^\s*[•\-\*]")))
     bullet_ratio = F.round(bullet_lines.cast("double") / nz_lines, 6)
 
     ellipsis_lines = F.size(F.filter(
         "_lines",
-        lambda ln: F.rtrim(ln).rlike(r"(\.\.\.|…)$")))
+        lambda ln: ln.rlike(r"(\.\.\.|…)\s*$")))
     ellipsis_ratio = F.round(ellipsis_lines.cast("double") / nz_lines, 6)
 
     alpha_words = F.size(F.filter(
@@ -194,7 +201,7 @@ def gopher_repetition_columns(df: DataFrame, key: str = "doc_id",
     staged = df.withColumns({
         "_toks": tokens_col(text_col),
         "_lines": F.filter(F.split(t, r"\n"),
-                           lambda ln: F.length(F.trim(ln)) > 0),
+                           lambda ln: ln.rlike(r"\S")),
     })
     staged = staged.withColumn("_uniq_lines", F.array_distinct("_lines"))
     n_lines = F.size("_lines")

@@ -315,8 +315,8 @@ def token_stats_by_lang(spark, sf_dir):
 TOKEN_STATS_SQL = """
 WITH t AS (
   SELECT lang,
-         CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE length(regexp_split_to_array(trim(text), '\\s+')) END
+         len(list_filter(regexp_split_to_array(text, '\\s+'),
+                          x -> x <> ''))
            AS n_tok
   FROM documents)
 SELECT lang, count(*) AS n_docs,
@@ -368,11 +368,11 @@ DOC_QUALITY_SQL = f"""
 WITH q AS (
   SELECT doc_id,
          octet_length(encode(text)) AS n_bytes,
-         CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE length(regexp_split_to_array(trim(text), '\\s+')) END
+         len(list_filter(regexp_split_to_array(text, '\\s+'),
+                          x -> x <> ''))
            AS n_tokens,
-         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '')
            AS toks,
          length(text)::DOUBLE AS n,
          length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE AS punct,
@@ -408,8 +408,8 @@ _SW = {k: ", ".join(f"'{w}'" for w in v)
        for k, v in text.STOPWORDS.items()}
 LANG_ID_SQL = f"""
 WITH t AS (
-  SELECT CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END
+  SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '')
            AS toks
   FROM documents),
  h AS (
@@ -444,8 +444,8 @@ def ngram_jaccard_adjacent(spark, sf_dir):
 NGRAM_JACCARD_SQL = """
 WITH toks AS (
   SELECT doc_id,
-         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-              ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+         list_filter(regexp_split_to_array(text, '\\s+'),
+                     x -> x <> '') AS t
   FROM documents),
  sh AS (
   SELECT doc_id,
@@ -475,8 +475,8 @@ def corpus_cleaning(spark, sf_dir):
 CORPUS_CLEANING_SQL = f"""
 WITH q0 AS (
   SELECT doc_id,
-         CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE length(regexp_split_to_array(trim(text), '\\s+')) END
+         len(list_filter(regexp_split_to_array(text, '\\s+'),
+                          x -> x <> ''))
            AS n_tokens,
          length(text)::DOUBLE AS n,
          length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE
@@ -497,8 +497,8 @@ q AS (
   FROM q1),
 t AS (
   SELECT doc_id,
-         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '')
            AS toks
   FROM documents),
 h AS (

@@ -749,10 +749,10 @@ def gopher_quality(spark, sf_dir):
 GOPHER_QUALITY_SQL = r"""
 WITH q AS (
   SELECT doc_id, text,
-    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks,
+    list_filter(regexp_split_to_array(text, '\s+'),
+                     x -> x <> '') AS toks,
     list_filter(string_split(text, chr(10)),
-                ln -> length(trim(ln)) > 0) AS lines
+                ln -> regexp_matches(ln, '\S')) AS lines
   FROM documents),
 m AS (
   SELECT doc_id,
@@ -764,10 +764,10 @@ m AS (
     (length(regexp_replace(text, '[^#]', '', 'g'))
      + len(regexp_extract_all(text, '\.\.\.|…')))::DOUBLE AS n_symbols,
     len(list_filter(lines,
-        ln -> regexp_matches(trim(ln), '^[•\-\*]')))::DOUBLE
+        ln -> regexp_matches(ln, '^\s*[•\-\*]')))::DOUBLE
       AS bullet_lines,
     len(list_filter(lines,
-        ln -> regexp_matches(rtrim(ln), '(\.\.\.|…)$')))::DOUBLE
+        ln -> regexp_matches(ln, '(\.\.\.|…)\s*$')))::DOUBLE
       AS ellipsis_lines,
     len(list_filter(toks,
         w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE AS alpha_words,
@@ -811,10 +811,10 @@ def gopher_repetition(spark, sf_dir):
 GOPHER_REPETITION_SQL = r"""
 WITH q AS (
   SELECT doc_id,
-    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks,
+    list_filter(regexp_split_to_array(text, '\s+'),
+                     x -> x <> '') AS toks,
     list_filter(string_split(text, chr(10)),
-                ln -> length(trim(ln)) > 0) AS lines
+                ln -> regexp_matches(ln, '\S')) AS lines
   FROM documents),
 base AS (
   SELECT doc_id, lines,
@@ -929,12 +929,12 @@ def c4_clean(spark, sf_dir):
 C4_CLEAN_SQL = r"""
 WITH q AS (SELECT doc_id, text,
   list_filter(string_split(text, chr(10)),
-              ln -> length(trim(ln)) > 0) AS lines
+              ln -> regexp_matches(ln, '\S')) AS lines
   FROM documents),
 k AS (SELECT doc_id, text, lines,
   list_filter(lines, ln ->
-     regexp_matches(trim(ln), '[.!?"”]$')
-     AND len(regexp_split_to_array(trim(ln), '\s+')) >= 5
+     regexp_matches(ln, '[.!?"”]\s*$')
+     AND len(list_filter(regexp_split_to_array(ln, '\s+'), x -> x <> '')) >= 5
      AND NOT contains(lower(ln), 'javascript')) AS kept
   FROM q),
 r AS (SELECT doc_id,

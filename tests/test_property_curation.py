@@ -1,0 +1,127 @@
+"""Seeded-random differential tests for the curation ops: the Spark
+(Java-regex / array-expression) implementations must agree with plain
+Python reimplementations on a few hundred adversarial ASCII documents.
+
+The DuckDB oracle already cross-checks these queries on the sf corpus;
+this adds an INDEPENDENT third implementation over nastier inputs
+(runs of punctuation, empty lines, lone separators) in one Spark job.
+Alphabet is ASCII-only on purpose: Java and Python regex classes agree
+there, and the ops' documented contracts are byte-oriented.
+"""
+
+from __future__ import annotations
+
+import random
+import re
+
+ALPHABET = list("abcdefgXYZ0123456789") + list(" \n.!?#@-{•*\"") + ["..."]
+
+
+def _random_texts(n=200, seed=20260817):
+    rng = random.Random(seed)
+    out = []
+    for i in range(n):
+        length = rng.randint(0, 120)
+        out.append((i, "".join(rng.choice(ALPHABET)
+                               for _ in range(length))))
+    # structured extremes
+    out.append((n, ""))
+    out.append((n + 1, "word " * 60))
+    out.append((n + 2, "• a b c d e.\n" * 10))
+    out.append((n + 3, "a@b.co 1.2.3.4 +1-555-123-4567"))
+    return out
+
+
+def _tokens(t):
+    t = t.strip()
+    return re.split(r"\s+", t) if t else []
+
+
+def _lines(t):
+    return [ln for ln in t.split("\n") if ln.strip()]
+
+
+def test_gopher_quality_matches_python(spark):
+    from log_parser_spark.ops import text as T
+    rows = _random_texts()
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           T.gopher_quality_columns(df).collect()}
+    for doc_id, t in rows:
+        toks = _tokens(t)
+        lines = _lines(t)
+        r = got[doc_id]
+        assert r["n_words"] == len(toks), (doc_id, t)
+        if toks:
+            exp = round(sum(len(w) for w in toks) / len(toks), 6)
+            assert abs(r["mean_word_len"] - exp) < 1e-9, (doc_id, t)
+        n_sym = t.count("#") + len(re.findall(r"\.\.\.|…", t))
+        exp_sym = round(n_sym / max(len(toks), 1), 6)
+        assert abs(r["symbol_word_ratio"] - exp_sym) < 1e-9, (doc_id, t)
+        n_bullet = sum(bool(re.match(r"^[•\-\*]", ln.strip()))
+                       for ln in lines)
+        assert abs(r["bullet_line_ratio"]
+                   - round(n_bullet / max(len(lines), 1), 6)) < 1e-9, \
+            (doc_id, t)
+        n_alpha = sum(bool(re.search("[A-Za-z]", w)) for w in toks)
+        assert abs(r["alpha_word_ratio"]
+                   - round(n_alpha / max(len(toks), 1), 6)) < 1e-9, \
+            (doc_id, t)
+
+
+def test_repetition_matches_python(spark):
+    from log_parser_spark.ops import text as T
+    rows = _random_texts()
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           T.gopher_repetition_columns(df).collect()}
+    for doc_id, t in rows:
+        toks = _tokens(t)
+        lines = _lines(t)
+        r = got[doc_id]
+        assert r["n_lines"] == len(lines)
+        exp_dup = round((len(lines) - len(set(lines)))
+                        / max(len(lines), 1), 6)
+        assert abs(r["dup_line_ratio"] - exp_dup) < 1e-9, (doc_id, t)
+        bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        top = 0
+        for g in set(bigrams):
+            top = max(top, bigrams.count(g) * (len(g) - 1))
+        wc = max(sum(len(w) for w in toks), 1)
+        exp_top = round(top / wc, 6) if len(toks) >= 2 else 0.0
+        assert abs(r["top_bigram_char_ratio"] - exp_top) < 1e-9, \
+            (doc_id, t)
+
+
+def test_pii_matches_python(spark):
+    from log_parser_spark.ops import text as T
+    from log_parser_spark.ops.text import PII_PATTERNS
+    rows = _random_texts()
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in T.redact_pii_columns(df).collect()}
+    for doc_id, t in rows:
+        r = got[doc_id]
+        for name in ("email", "ip", "phone"):
+            exp = len(re.findall(PII_PATTERNS[name], t))
+            assert r[f"n_{name}s"] == exp, (doc_id, name, t)
+        red = t
+        for name in ("email", "ip", "phone"):
+            red = re.sub(PII_PATTERNS[name], f"<{name.upper()}>", red)
+        assert r["redacted_text"] == red, (doc_id, t)
+
+
+def test_c4_clean_matches_python(spark):
+    from log_parser_spark.ops import cleaning
+    rows = _random_texts()
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           cleaning.c4_clean_columns(df).collect()}
+    for doc_id, t in rows:
+        lines = _lines(t)
+        kept = [ln for ln in lines
+                if re.search(r'[.!?"”]$', ln.strip())
+                and len(re.split(r"\s+", ln.strip())) >= 5
+                and "javascript" not in ln.lower()]
+        r = got[doc_id]
+        assert r["n_lines_kept"] == len(kept), (doc_id, t)
+        assert r["cleaned_text"] == "\n".join(kept), (doc_id, t)
