@@ -136,3 +136,46 @@ def test_streaming_exact_dedup(spark, tmp_path):
     assert 2 in got or 5 in got          # exactly one 'beta doc'
     assert not ({2, 5} <= got)
     assert 4 in got                      # unique doc survives
+
+
+def test_streaming_curation_pass(spark, tmp_path):
+    """The curation ops are stateless projections, so they compose with
+    Structured Streaming unchanged: a file-source stream of documents
+    driven through Gopher quality + PII redaction + the deterministic
+    sample filter, drained with availableNow — the streamed results
+    must equal the batch run row-for-row."""
+    from pyspark.sql import functions as F
+
+    from log_parser_spark.ops import sampling, text
+
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt_cur")
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("the quick brown fox email me at a"),
+                 F.col("id").cast("string"),
+                 F.lit("@b.co and that is all of it with some more "
+                       "words to have enough here today")).alias("text"))
+    docs.write.mode("overwrite").parquet(src)
+
+    def curate(df):
+        q = text.gopher_quality_columns(text.redact_pii_columns(df))
+        return sampling.deterministic_sample(
+            q.select("doc_id", "n_words", "n_emails", "redacted_text"),
+            key="doc_id", fraction=0.5, seed=3)
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(src))
+    q = (curate(stream).writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    streamed = {(r["doc_id"], r["n_words"], r["n_emails"],
+                 r["redacted_text"])
+                for r in spark.read.parquet(out).collect()}
+    batch = {(r["doc_id"], r["n_words"], r["n_emails"], r["redacted_text"])
+             for r in curate(spark.read.parquet(src)).collect()}
+    assert streamed == batch and len(batch) > 50
+    assert all("<EMAIL>" in t for _, _, _, t in batch)
