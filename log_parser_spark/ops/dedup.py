@@ -334,6 +334,46 @@ def ngram_jaccard(df_pairs: DataFrame, left_text: str, right_text: str,
     ).drop("_sa", "_sb")
 
 
+def boilerplate_paragraphs(docs: DataFrame, key: str = "doc_id",
+                           text_col: str = "text",
+                           min_doc_freq: int = 3) -> DataFrame:
+    """Inter-document boilerplate detection (the cross-doc complement
+    of the per-doc Gopher/C4 filters): a paragraph (non-blank line)
+    appearing in >= ``min_doc_freq`` DISTINCT documents is boilerplate
+    (navigation, footers, cookie banners).  Returns one row per doc:
+    paragraph counts and the char fraction boilerplate covers.
+
+    Scale shape: explode paragraphs once, hash each, ONE groupBy on the
+    paragraph hash (aggregation, so a mega-frequent footer is a single
+    combiner-friendly group — linear, unlike a join), then a shuffle
+    join of the per-(doc, hash) rows against the boilerplate hash set
+    and a final per-doc rollup.  Two shuffles total, both on hash keys;
+    no driver-side state."""
+    paras = (docs.select(key, F.explode(
+        F.filter(F.split(F.col(text_col), r"\n"),
+                 lambda ln: ln.rlike(r"\S"))).alias("para"))
+        .withColumn("ph", F.md5("para")))
+    freq = (paras.groupBy("ph")
+            .agg(F.count_distinct(F.col(key)).alias("doc_freq")))
+    flagged = paras.join(
+        freq.filter(F.col("doc_freq") >= min_doc_freq).select("ph"),
+        "ph", "left_semi").select(key, "para")
+    per_doc = (paras.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum(F.length("para")).alias("_chars")))
+    per_doc_boiler = (flagged.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_boiler_paras"),
+        F.sum(F.length("para")).alias("_boiler_chars")))
+    out = (per_doc.join(per_doc_boiler, key, "left")
+           .select(key, "n_paras",
+                   F.coalesce("n_boiler_paras", F.lit(0))
+                   .alias("n_boiler_paras"),
+                   F.round(F.coalesce("_boiler_chars", F.lit(0))
+                           / F.greatest("_chars", F.lit(1)), 6)
+                   .alias("boiler_char_ratio")))
+    return out
+
+
 def hyperplane_buckets(emb: DataFrame, key: str = "vec_id",
                        vec_col: str = "embedding",
                        n_bands: int = 8) -> DataFrame:

@@ -1730,7 +1730,7 @@ _DRIVER_ORDER = [
     "log_job_cf", "log_quarantine_stats",
     "url_canonical_sorted", "cosine_drop_accounting", "ann_recall_ivf",
     "gopher_quality", "gopher_repetition", "pii_scrub", "c4_clean",
-    "stratified_sample_mix",
+    "stratified_sample_mix", "boilerplate_stats",
     # -- tier 2: SURVEY §2 log_* surface (D-green r01-r03)
     "log_route_counts", "log_event_histogram", "log_counters_last",
     "log_flush_pairs", "log_flush_stats", "log_compression_stats",
@@ -1740,9 +1740,14 @@ _DRIVER_ORDER = [
     "log_parsed_json_report", "log_compactions", "log_stall_totals",
     "log_blob_stats", "log_domain_rollup", "log_seek_stats",
     "log_filter_effectiveness", "log_growth_total", "log_block_cache",
-    # ------------------------------- position 50 boundary (27+22=49) --
-    # -- tier 3: dedup / ANN core (D-green r01-r03; first entry still
-    #    inside a 50-cap, rest immediately after)
+    # ------------------------------- position 50 boundary (28+22=50) --
+    # curation_yield is the one never-checked name past the boundary:
+    # it is a pure composition of gopher_quality x gopher_repetition x
+    # c4_clean x stratified_sample_mix, each individually inside the
+    # prefix, so demoting it keeps the full log_* surface in any 50-cap
+    "curation_yield",
+    # -- tier 3: dedup / ANN core (D-green r01-r03; immediately after
+    #    the boundary, inside any cap that grows past 50)
     "dedup_exact_docs", "minhash_pairs", "simhash_docs",
     "simhash_near_pairs", "embedding_cosine_dedup", "embedding_ann_ivf",
     # -- tier 4: longest-proven text/multimodal/relational queries

@@ -954,6 +954,133 @@ FROM r
 """
 
 
+# ------------------------------------- curation funnel yield (r4)
+
+_YIELD_SUFFIX = ("\nIt is said that all of the results have to be "
+                 "written with care. That is of note and we agree to "
+                 "it. We have to be sure of all that.")
+
+
+def curation_yield(spark, sf_dir):
+    """The number a data team actually tracks: per-language document
+    and BPE-token yield after the FULL curation funnel — Gopher
+    quality x Gopher repetition x C4 cleaning, then the deterministic
+    stratified sample.  All three filters are map-only column
+    compositions over ONE scan (no joins — the *_columns ops chain on
+    the same DataFrame); the only shuffle is the final per-lang
+    aggregate.
+
+    The synthetic corpus is punctuation- and stopword-free (every doc
+    fails Gopher and C4 as-is), so every EVEN doc_id gets a
+    deterministic punctuated suffix line — the funnel then passes
+    exactly the enriched docs that clear every rule, which both
+    engines must agree on."""
+    from log_parser_spark.ops import cleaning, sampling
+    from log_parser_spark.ops import text as T
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "lang", "text"))
+    docs = docs.withColumn(
+        "text",
+        F.when(F.pmod("doc_id", F.lit(2)) == 0,
+               F.concat("text", F.lit(_YIELD_SUFFIX)))
+        .otherwise(F.col("text")))
+    z = cleaning.c4_clean_columns(
+        T.gopher_repetition_columns(T.gopher_quality_columns(docs)))
+    passed = z.filter(F.col("gopher_pass") & F.col("repetition_pass")
+                      & F.col("c4_keep"))
+    kept = sampling.stratified_sample(
+        passed, "lang", _MIX_FRACTIONS, key="doc_id",
+        default_fraction=_MIX_DEFAULT, seed=_MIX_SEED)
+    return (kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum(T.bpe_token_count_col("text")).alias("total_bpe_tokens")))
+
+
+def _curation_yield_sql():
+    from log_parser_spark.ops.sampling import _threshold_hex
+    from log_parser_spark.ops.text import BPE_PIECE_PATTERN
+    cases = " ".join(
+        f"WHEN '{v}' THEN '{_threshold_hex(f)}'"
+        for v, f in sorted(_MIX_FRACTIONS.items()))
+    bpe = BPE_PIECE_PATTERN.replace("'", "''")
+    suffix = _YIELD_SUFFIX.replace("\n", "' || chr(10) || '")
+    planted = (f"SELECT doc_id, lang, CASE WHEN doc_id % 2 = 0 "
+               f"THEN text || '{suffix}' ELSE text END AS text "
+               f"FROM documents")
+    # the proven per-filter oracles nest verbatim as CTE bodies
+    # (DuckDB allows WITH inside a parenthesized CTE definition) with
+    # their `documents` reference retargeted at the planted variant
+    # (shadowing the name itself would be a circular CTE reference)
+    def on_planted(sql):
+        return sql.replace("FROM documents", "FROM planted_documents")
+    return f"""
+WITH planted_documents AS ({planted}),
+gq AS ({on_planted(GOPHER_QUALITY_SQL)}),
+gr AS ({on_planted(GOPHER_REPETITION_SQL)}),
+cc AS ({on_planted(C4_CLEAN_SQL)}),
+flags AS (
+  SELECT d.doc_id, d.lang, d.text FROM planted_documents d
+  JOIN gq ON gq.doc_id = d.doc_id
+  JOIN gr ON gr.doc_id = d.doc_id
+  JOIN cc ON cc.doc_id = d.doc_id
+  WHERE gq.gopher_pass AND gr.repetition_pass AND cc.c4_keep),
+s AS (
+  SELECT doc_id, lang, text FROM flags
+  WHERE substr(md5(doc_id::VARCHAR || ':{_MIX_SEED}'), 1, 8) <
+        CASE lang {cases} ELSE '{_threshold_hex(_MIX_DEFAULT)}' END)
+SELECT lang, count(*)::BIGINT AS n_docs_kept,
+  CAST(sum(len(regexp_extract_all(text, '{bpe}'))) AS BIGINT)
+    AS total_bpe_tokens
+FROM s GROUP BY lang
+"""
+
+
+# ------------------------------------- inter-doc boilerplate (r4)
+
+_BOILER_FOOTER = ("Cookie notice: this site uses cookies. "
+                  "All rights reserved.")
+
+
+def boilerplate_stats(spark, sf_dir):
+    """Cross-document boilerplate detection
+    (ops/dedup.boilerplate_paragraphs): plant a shared footer on every
+    third doc — the op must flag exactly that paragraph (>= 3 distinct
+    docs) while every unique body line stays clean."""
+    from log_parser_spark.ops import dedup
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text"))
+    planted = docs.withColumn(
+        "text",
+        F.when(F.pmod("doc_id", F.lit(3)) == 0,
+               F.concat("text", F.lit("\n" + _BOILER_FOOTER)))
+        .otherwise(F.col("text")))
+    return dedup.boilerplate_paragraphs(planted, min_doc_freq=3)
+
+
+BOILERPLATE_SQL = rf"""
+WITH d AS (SELECT doc_id,
+  CASE WHEN doc_id % 3 = 0 THEN text || chr(10) || '{_BOILER_FOOTER}'
+       ELSE text END AS text
+  FROM documents),
+p AS (SELECT doc_id,
+  unnest(list_filter(string_split(text, chr(10)),
+                     ln -> regexp_matches(ln, '\S'))) AS para FROM d),
+f AS (SELECT md5(para) AS ph, count(DISTINCT doc_id) AS doc_freq
+      FROM p GROUP BY md5(para)),
+pd AS (SELECT doc_id, count(*) AS n_paras, sum(length(para)) AS chars
+       FROM p GROUP BY doc_id),
+pb AS (SELECT doc_id, count(*) AS n_boiler_paras,
+              sum(length(para)) AS bchars
+       FROM p WHERE md5(para) IN (SELECT ph FROM f WHERE doc_freq >= 3)
+       GROUP BY doc_id)
+SELECT pd.doc_id, pd.n_paras::BIGINT AS n_paras,
+  coalesce(pb.n_boiler_paras, 0)::BIGINT AS n_boiler_paras,
+  CAST(round(coalesce(pb.bchars, 0) / greatest(pd.chars, 1), 6)
+       AS DOUBLE) AS boiler_char_ratio
+FROM pd LEFT JOIN pb USING (doc_id)
+"""
+
+
 # ------------------------------------------------- PII scrubbing (r4)
 
 def pii_scrub(spark, sf_dir):
@@ -1067,6 +1194,8 @@ QUERIES_EXT = {
     "pii_scrub": pii_scrub,
     "c4_clean": c4_clean,
     "stratified_sample_mix": stratified_sample_mix,
+    "boilerplate_stats": boilerplate_stats,
+    "curation_yield": curation_yield,
 }
 
 ORACLE_SQL_EXT = {
@@ -1094,6 +1223,8 @@ ORACLE_SQL_EXT = {
     "pii_scrub": PII_SCRUB_SQL,
     "c4_clean": C4_CLEAN_SQL,
     "stratified_sample_mix": STRATIFIED_SAMPLE_SQL,
+    "boilerplate_stats": BOILERPLATE_SQL,
+    "curation_yield": _curation_yield_sql(),
 }
 
 # -------------------------------------------- golden-parquet oracles

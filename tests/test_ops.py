@@ -664,3 +664,25 @@ def test_deterministic_sampling(spark):
     by_lang = {r["lang"]: r["count"] for r in strat}
     assert 400 < by_lang["en"] < 600      # ~50% of 1000
     assert 20 <= by_lang.get("de", 0) < 110  # ~5% of 1000
+
+
+def test_boilerplate_paragraphs(spark):
+    """A paragraph shared by >= min_doc_freq distinct docs is flagged;
+    unique paragraphs never are, and repeats WITHIN one doc don't count
+    toward the distinct-doc threshold."""
+    footer = "all rights reserved"
+    rows = [
+        (1, f"unique one\n{footer}"),
+        (2, f"unique two\n{footer}"),
+        (3, f"unique three\n{footer}"),
+        (4, "unique four\nrepeat me\nrepeat me\nrepeat me"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dedup.boilerplate_paragraphs(
+        df, min_doc_freq=3).collect()}
+    for d in (1, 2, 3):
+        assert out[d]["n_boiler_paras"] == 1, d
+        assert 0 < out[d]["boiler_char_ratio"] < 1
+    # within-doc repetition is NOT inter-doc boilerplate
+    assert out[4]["n_boiler_paras"] == 0
+    assert out[4]["boiler_char_ratio"] == 0.0

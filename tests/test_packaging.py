@@ -70,8 +70,12 @@ def test_driver_query_order_puts_critical_queries_first():
         "lsh_drop_accounting", "url_canonical_sorted",
         "cosine_drop_accounting", "ann_recall_ivf", "gopher_quality",
         "gopher_repetition", "pii_scrub", "c4_clean",
-        "stratified_sample_mix"}
+        "stratified_sample_mix", "boilerplate_stats"}
     assert set(names[:len(never_checked)]) == never_checked
+    # curation_yield (a composition of four queries that ARE in the
+    # prefix) is the one never-checked name allowed past the 50-cap
+    # boundary so the full log_* surface stays inside it
+    assert names[50] == "curation_yield"
 
     # the full log_* reference surface is driver-visible in any >=50 cap
     log_queries = {n for n in names if n.startswith("log_")}
@@ -80,4 +84,4 @@ def test_driver_query_order_puts_critical_queries_first():
     # immediately after — inside any cap that grows past 50
     assert {"dedup_exact_docs", "minhash_pairs", "simhash_docs",
             "simhash_near_pairs", "embedding_cosine_dedup",
-            "embedding_ann_ivf"} <= set(names[:56])
+            "embedding_ann_ivf"} <= set(names[:57])
