@@ -27,7 +27,13 @@ def tokens_col(text: str | Column = "text") -> Column:
     strips only the space character, so a leading newline/tab would
     leave a phantom '' token (found by the Python differential in
     tests/test_property_curation.py; the DuckDB oracle had mirrored
-    the same trim and couldn't see it)."""
+    the same trim and couldn't see it).
+
+    Separator contract: ASCII whitespace only (Java regex \\s, which
+    DuckDB's RE2 matches exactly) — U+00A0/U+2003 and other Unicode
+    spaces are TOKEN characters on both engines.  Python's re.\\s
+    disagrees (it is Unicode-aware), so Python-side mirrors must use
+    [ \\t\\n\\r\\f\\v] (pinned by test_unicode_whitespace_contract)."""
     c = F.col(text) if isinstance(text, str) else text
     return F.filter(F.split(c, r"\s+"), lambda x: x != "")
 

@@ -125,3 +125,35 @@ def test_c4_clean_matches_python(spark):
         r = got[doc_id]
         assert r["n_lines_kept"] == len(kept), (doc_id, t)
         assert r["cleaned_text"] == "\n".join(kept), (doc_id, t)
+
+
+def test_unicode_whitespace_contract(spark):
+    """Tokenization separators are ASCII whitespace ONLY: Java's \\s
+    (Spark) and RE2's \\s (DuckDB) agree; U+00A0 (nbsp) and U+2003
+    (em space) are token characters on BOTH engines.  Python's
+    Unicode-aware re.\\s would disagree — this test pins the
+    cross-engine contract so a future 'fix' can't silently fork the
+    two sides of the oracle."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from log_parser_spark.ops.text import tokens_col
+    texts = ["a\u00a0b c", "x\u2003y", "plain text",
+             "\u00a0", ""]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["i", "text"])
+    spark_counts = {r["i"]: r["n"] for r in df.select(
+        "i", F.size(tokens_col("text")).alias("n")).collect()}
+
+    con = duckdb.connect()
+    duck_counts = {}
+    for i, t in enumerate(texts):
+        duck_counts[i] = con.execute(
+            r"SELECT len(list_filter(regexp_split_to_array(?, '\s+'),"
+            r" x -> x <> ''))", [t]).fetchone()[0]
+    assert spark_counts == duck_counts
+    # nbsp/em-space glue tokens together: 'a b' is ONE token
+    assert spark_counts[0] == 2 and spark_counts[1] == 1
+    assert spark_counts[3] == 1  # a lone nbsp IS a token
+    assert spark_counts[4] == 0
