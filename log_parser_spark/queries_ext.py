@@ -1139,7 +1139,16 @@ def ann_recall_ivf(spark, sf_dir):
     recall_at_k = n_hits / (n_queries * k).  Fully declarative: the
     three probe runs are unioned and semi-joined against the exact
     set; the truth size rides in via a broadcast 1-row crossJoin (no
-    driver-side counting)."""
+    driver-side counting).
+
+    Expected values on THIS corpus are low (0.2-0.5) by construction:
+    the synthetic embeddings are i.i.d. random, i.e. near-orthogonal —
+    the ANN-hostile worst case where true neighbors scatter across
+    centroid cells.  That is the point of the query: it measures, per
+    probe budget, exactly how hostile the corpus is (clustered
+    real-world embeddings score far higher — see
+    tests/test_ops.py::test_ivf_topk_recall, >= 0.5 at n_probe=2 on
+    smooth data), so probe tuning is evidence-based either way."""
     from log_parser_spark.ops import similarity
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 10)
