@@ -148,3 +148,34 @@ def test_curation_ops_are_map_only(spark):
         assert "Exchange" not in p, name
         assert "BatchEvalPython" not in p, name
         assert "ArrowEvalPython" not in p, name
+
+
+def test_bucketed_tables_join_without_exchange(spark, noaqe, tmp_path):
+    """Bucketing for co-located joins (north rule): two tables written
+    bucketBy(url) with the same bucket count must sort-merge-join with
+    ZERO Exchange — at 100 TB this is the difference between a free
+    join and shuffling both fact tables."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        from pyspark.sql import functions as F
+        docs = spark.range(200).select(
+            F.concat(F.lit("https://d"), (F.col("id") % 37).cast("string"),
+                     F.lit(".io/p"), F.col("id").cast("string"))
+            .alias("url"),
+            F.col("id").alias("v"))
+        for name in ("bkt_a", "bkt_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            (docs.write.bucketBy(8, "url").sortBy("url")
+             .option("path", str(tmp_path / name))
+             .mode("overwrite").saveAsTable(name))
+        j = spark.table("bkt_a").join(
+            spark.table("bkt_b").withColumnRenamed("v", "v2"), "url")
+        p = plan(j)
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p  # co-located: no shuffle either side
+        assert j.count() == 200  # join actually runs (1:1 on unique urls)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for name in ("bkt_a", "bkt_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
