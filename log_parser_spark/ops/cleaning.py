@@ -54,10 +54,12 @@ def corpus_cleaning_flags(docs: DataFrame, key: str = "doc_id",
 
 # C4 cleaning rules (Raffel et al. 2020, "Exploring the Limits of
 # Transfer Learning...", §2.2 — the public C4 heuristics), line-level
-# filter + document-level flags, all pure codegen.
+# filter + document-level flags, all pure codegen.  Whitespace is the
+# explicit ASCII class shared with the DuckDB mirror (text.WS_CLASS),
+# never \s: Java's \s includes \x0B, RE2's does not.
 C4_MIN_LINE_WORDS = 5
 C4_MIN_SENTENCES = 3
-_C4_TERMINAL = r'[.!?"”]\s*$'
+_C4_TERMINAL = r'[.!?"”]' + text.WS_CLASS + "*$"
 
 
 def c4_clean_columns(docs: DataFrame, key: str = "doc_id",
@@ -76,14 +78,14 @@ def c4_clean_columns(docs: DataFrame, key: str = "doc_id",
     t = F.col(text_col)
     staged = docs.withColumn(
         "_lines", F.filter(F.split(t, r"\n"),
-                           lambda ln: ln.rlike(r"\S")))
+                           lambda ln: ln.rlike(text.NON_WS_CLASS)))
 
     def line_ok(ln):
         # whitespace-robust: terminal punct modulo trailing whitespace,
         # word count as non-empty split pieces (Spark trim strips only
         # spaces, so trim-based variants miss tabs)
         return (ln.rlike(_C4_TERMINAL)
-                & (F.size(F.filter(F.split(ln, r"\s+"),
+                & (F.size(F.filter(F.split(ln, text.WS_RUN),
                                    lambda w: w != ""))
                    >= C4_MIN_LINE_WORDS)
                 & ~F.lower(ln).contains("javascript"))

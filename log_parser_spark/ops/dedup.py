@@ -349,9 +349,10 @@ def boilerplate_paragraphs(docs: DataFrame, key: str = "doc_id",
     join of the per-(doc, hash) rows against the boilerplate hash set
     and a final per-doc rollup.  Two shuffles total, both on hash keys;
     no driver-side state."""
+    from log_parser_spark.ops.text import NON_WS_CLASS
     paras = (docs.select(key, F.explode(
         F.filter(F.split(F.col(text_col), r"\n"),
-                 lambda ln: ln.rlike(r"\S"))).alias("para"))
+                 lambda ln: ln.rlike(NON_WS_CLASS))).alias("para"))
         .withColumn("ph", F.md5("para")))
     freq = (paras.groupBy("ph")
             .agg(F.count_distinct(F.col(key)).alias("doc_freq")))

@@ -24,8 +24,17 @@ _HEX_DIGITS = 8  # 32-bit resolution: fraction granularity 2**-32
 
 
 def _threshold_hex(fraction: float) -> str:
+    """8-hex-char keep threshold; compare is LEXICOGRAPHIC against the
+    md5 prefix, so the result must stay 8 chars — except the full-keep
+    case: a fraction that rounds to 16^8 returns 'g', which sorts above
+    every hex digit and therefore keeps 100% (the naive 9-char
+    '100000000' sorts BELOW any hash not starting with '0' and would
+    silently keep ~1/16 of a fraction=1.0 stratum)."""
     f = min(max(fraction, 0.0), 1.0)
-    return format(int(round(f * (16 ** _HEX_DIGITS))), f"0{_HEX_DIGITS}x")
+    scaled = int(round(f * (16 ** _HEX_DIGITS)))
+    if scaled >= 16 ** _HEX_DIGITS:
+        return "g"
+    return format(scaled, f"0{_HEX_DIGITS}x")
 
 
 def sample_hash_col(key: str | Column, seed: int = 42) -> Column:

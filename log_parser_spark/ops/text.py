@@ -12,6 +12,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
 
+# The ASCII-whitespace contract, spelled as an EXPLICIT class: Java
+# regex \s includes U+000B (vertical tab) but RE2's \s is [\t\n\f\r ]
+# without it, so a bare \s in a pattern shared with the DuckDB oracle
+# silently forks the engines on \x0B input.  Every whitespace-sensitive
+# pattern on BOTH sides uses these classes (the SQL mirrors embed the
+# same literal; test_unicode_whitespace_contract probes \x0B to pin it).
+WS_CHARS = " \t\n\x0B\f\r"
+WS_CLASS = r"[ \t\n\x0B\f\r]"        # one ASCII whitespace char
+NON_WS_CLASS = r"[^ \t\n\x0B\f\r]"   # one non-whitespace char
+WS_RUN = WS_CLASS + "+"              # token separator
+
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
     "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu",
@@ -29,13 +40,15 @@ def tokens_col(text: str | Column = "text") -> Column:
     tests/test_property_curation.py; the DuckDB oracle had mirrored
     the same trim and couldn't see it).
 
-    Separator contract: ASCII whitespace only (Java regex \\s, which
-    DuckDB's RE2 matches exactly) — U+00A0/U+2003 and other Unicode
-    spaces are TOKEN characters on both engines.  Python's re.\\s
-    disagrees (it is Unicode-aware), so Python-side mirrors must use
-    [ \\t\\n\\r\\f\\v] (pinned by test_unicode_whitespace_contract)."""
+    Separator contract: ASCII whitespace only, via the explicit
+    WS_RUN class (NOT \\s — Java's \\s includes \\x0B, RE2's does not,
+    so the bare escape forks Spark from the DuckDB oracle on vertical
+    tab).  U+00A0/U+2003 and other Unicode spaces are TOKEN characters
+    on both engines.  Python's re.\\s is Unicode-aware, so Python-side
+    mirrors must use the same explicit class (pinned by
+    test_unicode_whitespace_contract, which probes \\x0B)."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.filter(F.split(c, r"\s+"), lambda x: x != "")
+    return F.filter(F.split(c, WS_RUN), lambda x: x != "")
 
 
 def token_count_col(text: str | Column = "text") -> Column:
@@ -45,9 +58,12 @@ def token_count_col(text: str | Column = "text") -> Column:
 # BPE-ish pre-tokenization (GPT-2 style piece boundaries, simplified to
 # a regex both Spark's Java regex and DuckDB's RE2 accept): common
 # contractions, letter runs, digit runs, punctuation runs — whitespace
-# folds into the following piece and is never a token itself.
+# folds into the following piece and is never a token itself.  The
+# whitespace exclusion is the explicit ASCII class (see WS_CLASS), not
+# \s, for the same Java-vs-RE2 \x0B reason.
 BPE_PIECE_PATTERN = (r"'(?:s|t|re|ve|m|ll|d)"
-                     r"| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+")
+                     r"| ?[A-Za-z]+| ?[0-9]+"
+                     r"| ?[^ \t\n\x0B\f\rA-Za-z0-9]+")
 
 
 def bpe_token_count_col(text: str | Column = "text") -> Column:
@@ -124,10 +140,10 @@ def gopher_quality_columns(df: DataFrame,
     t = F.col(text_col)
     staged = df.withColumns({
         "_toks": tokens_col(text_col),
-        # non-blank lines: rlike(\S), not trim-length (Spark trim
+        # non-blank lines: rlike(non-ws), not trim-length (Spark trim
         # strips spaces only — a tab-only line is blank too)
         "_lines": F.filter(F.split(t, r"\n"),
-                           lambda ln: ln.rlike(r"\S")),
+                           lambda ln: ln.rlike(NON_WS_CLASS)),
     })
     n_words = F.size("_toks").cast("long")
     nz_words = F.greatest(n_words, F.lit(1)).cast("double")
@@ -144,12 +160,12 @@ def gopher_quality_columns(df: DataFrame,
     symbol_ratio = F.round(n_symbols / nz_words, 6)
 
     bullet_lines = F.size(F.filter(
-        "_lines", lambda ln: ln.rlike(r"^\s*[•\-\*]")))
+        "_lines", lambda ln: ln.rlike("^" + WS_CLASS + r"*[•\-\*]")))
     bullet_ratio = F.round(bullet_lines.cast("double") / nz_lines, 6)
 
     ellipsis_lines = F.size(F.filter(
         "_lines",
-        lambda ln: ln.rlike(r"(\.\.\.|…)\s*$")))
+        lambda ln: ln.rlike(r"(\.\.\.|…)" + WS_CLASS + "*$")))
     ellipsis_ratio = F.round(ellipsis_lines.cast("double") / nz_lines, 6)
 
     alpha_words = F.size(F.filter(
@@ -197,17 +213,19 @@ def gopher_repetition_columns(df: DataFrame, key: str = "doc_id",
       most frequent word 2-gram               (Gopher drops > 0.18)
     - repetition_pass: all three thresholds hold
 
-    top_bigram_char_ratio uses the standard count*ngram_chars
-    approximation (as the public Gopher reproductions do): overlapping
-    occurrences each contribute full char weight, so pathological
-    single-token repeats can exceed 1.0 — exact char coverage would
-    need positional de-overlap for no filtering benefit.
+    top_bigram_char_ratio picks the bigram by FREQUENCY (argmax count,
+    ties broken by larger char coverage — the Rae et al. definition),
+    then scores it with the standard count*ngram_chars approximation
+    (as the public Gopher reproductions do): overlapping occurrences
+    each contribute full char weight, so pathological single-token
+    repeats can exceed 1.0 — exact char coverage would need positional
+    de-overlap for no filtering benefit.
     """
     t = F.col(text_col)
     staged = df.withColumns({
         "_toks": tokens_col(text_col),
         "_lines": F.filter(F.split(t, r"\n"),
-                           lambda ln: ln.rlike(r"\S")),
+                           lambda ln: ln.rlike(NON_WS_CLASS)),
     })
     staged = staged.withColumn("_uniq_lines", F.array_distinct("_lines"))
     n_lines = F.size("_lines")
@@ -235,18 +253,28 @@ def gopher_repetition_columns(df: DataFrame, key: str = "doc_id",
 
     def scan_step(acc, g):
         run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
-        # chars covered by this run's bigram: run * (len - 1 joiner)
+        # chars covered by this run's bigram: run * (len - 1 joiner).
+        # A run reaches the bigram's full count at its last element, so
+        # tracking (max run, coverage at that run) over the scan yields
+        # the MOST FREQUENT bigram's coverage; the equal-run branch
+        # breaks frequency ties toward larger coverage.
         cov = (run * (F.length(g) - 1)).cast("long")
+        best_run = F.greatest(acc["best_run"], run)
+        best_cov = (F.when(run > acc["best_run"], cov)
+                    .when((run == acc["best_run"])
+                          & (cov > acc["best_cov"]), cov)
+                    .otherwise(acc["best_cov"]))
         return F.struct(
             g.alias("prev"), run.alias("run"),
-            F.greatest(acc["best"], cov).alias("best"))
+            best_run.alias("best_run"), best_cov.alias("best_cov"))
 
     top_bigram_chars = F.aggregate(
         "_bg_sorted",
         F.struct(F.lit("").alias("prev"),
                  F.lit(0).cast("int").alias("run"),
-                 F.lit(0).cast("long").alias("best")),
-        scan_step, lambda acc: acc["best"])
+                 F.lit(0).cast("int").alias("best_run"),
+                 F.lit(0).cast("long").alias("best_cov")),
+        scan_step, lambda acc: acc["best_cov"])
     nz_word_chars = F.greatest(word_chars, F.lit(1)).cast("double")
 
     out = staged.withColumns({
@@ -299,18 +327,30 @@ def redact_pii_columns(df: DataFrame, text_col: str = "text",
                        out_col: str = "redacted_text") -> DataFrame:
     """Detect + redact PII as chained codegen regexp_replace (one
     projection, no UDF): per-type match counts and the redacted text
-    with `<TYPE>` placeholders.  Counting happens BEFORE redaction on
-    the original text; replacement is applied in _PII_ORDER so an
-    email's digits can never be re-matched as a phone."""
-    t = F.col(text_col)
-    counts = {f"n_{name}s": F.regexp_count(
-        t, F.lit(PII_PATTERNS[name])).cast("long")
-        for name in _PII_ORDER}
-    red = t
+    with `<TYPE>` placeholders.  Each type is COUNTED on the text with
+    all earlier types already redacted (same _PII_ORDER as the
+    replacement chain), so overlapping matches never double-count —
+    n_<type>s equals the number of `<TYPE>` placeholders actually
+    present in the output (e.g. 'user1.2.3.4@example.com' is one email
+    and zero IPs, not one of each).
+
+    Each intermediate redaction is staged as its own column (count of
+    the NEXT type + the next replace both read it), so CollapseProject
+    keeps it materialized and every regexp_replace runs once per row
+    instead of being re-expanded into each downstream expression."""
+    out = df
+    prev: Column = F.col(text_col)
+    stage_cols = []
     for name in _PII_ORDER:
-        red = F.regexp_replace(red, PII_PATTERNS[name],
-                               f"<{name.upper()}>")
-    return df.withColumns({**counts, out_col: red})
+        out = out.withColumn(
+            f"n_{name}s",
+            F.regexp_count(prev, F.lit(PII_PATTERNS[name])).cast("long"))
+        stage = f"_red_after_{name}"
+        out = out.withColumn(stage, F.regexp_replace(
+            prev, PII_PATTERNS[name], f"<{name.upper()}>"))
+        stage_cols.append(stage)
+        prev = F.col(stage)
+    return out.withColumn(out_col, prev).drop(*stage_cols)
 # 62-bit fingerprint.  The Mersenne-31 modulus keeps every intermediate
 # inside int64 (weights < 2^31, byte*weight < 2^39, a 4096-term block
 # sum < 2^51, carry*base^block < 2^62), so the inner loop is pure numpy

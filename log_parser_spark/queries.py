@@ -315,7 +315,7 @@ def token_stats_by_lang(spark, sf_dir):
 TOKEN_STATS_SQL = """
 WITH t AS (
   SELECT lang,
-         len(list_filter(regexp_split_to_array(text, '\\s+'),
+         len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
                           x -> x <> ''))
            AS n_tok
   FROM documents)
@@ -368,10 +368,10 @@ DOC_QUALITY_SQL = f"""
 WITH q AS (
   SELECT doc_id,
          octet_length(encode(text)) AS n_bytes,
-         len(list_filter(regexp_split_to_array(text, '\\s+'),
+         len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
                           x -> x <> ''))
            AS n_tokens,
-         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                      x -> x <> '')
            AS toks,
          length(text)::DOUBLE AS n,
@@ -408,7 +408,7 @@ _SW = {k: ", ".join(f"'{w}'" for w in v)
        for k, v in text.STOPWORDS.items()}
 LANG_ID_SQL = f"""
 WITH t AS (
-  SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
+  SELECT list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                      x -> x <> '')
            AS toks
   FROM documents),
@@ -444,7 +444,7 @@ def ngram_jaccard_adjacent(spark, sf_dir):
 NGRAM_JACCARD_SQL = """
 WITH toks AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(text, '\\s+'),
+         list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
                      x -> x <> '') AS t
   FROM documents),
  sh AS (
@@ -475,7 +475,7 @@ def corpus_cleaning(spark, sf_dir):
 CORPUS_CLEANING_SQL = f"""
 WITH q0 AS (
   SELECT doc_id,
-         len(list_filter(regexp_split_to_array(text, '\\s+'),
+         len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
                           x -> x <> ''))
            AS n_tokens,
          length(text)::DOUBLE AS n,
@@ -497,7 +497,7 @@ q AS (
   FROM q1),
 t AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                      x -> x <> '')
            AS toks
   FROM documents),

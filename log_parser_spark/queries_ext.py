@@ -749,10 +749,10 @@ def gopher_quality(spark, sf_dir):
 GOPHER_QUALITY_SQL = r"""
 WITH q AS (
   SELECT doc_id, text,
-    list_filter(regexp_split_to_array(text, '\s+'),
+    list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'),
                      x -> x <> '') AS toks,
     list_filter(string_split(text, chr(10)),
-                ln -> regexp_matches(ln, '\S')) AS lines
+                ln -> regexp_matches(ln, '[^ \t\n\x0B\f\r]')) AS lines
   FROM documents),
 m AS (
   SELECT doc_id,
@@ -764,10 +764,10 @@ m AS (
     (length(regexp_replace(text, '[^#]', '', 'g'))
      + len(regexp_extract_all(text, '\.\.\.|…')))::DOUBLE AS n_symbols,
     len(list_filter(lines,
-        ln -> regexp_matches(ln, '^\s*[•\-\*]')))::DOUBLE
+        ln -> regexp_matches(ln, '^[ \t\n\x0B\f\r]*[•\-\*]')))::DOUBLE
       AS bullet_lines,
     len(list_filter(lines,
-        ln -> regexp_matches(ln, '(\.\.\.|…)\s*$')))::DOUBLE
+        ln -> regexp_matches(ln, '(\.\.\.|…)[ \t\n\x0B\f\r]*$')))::DOUBLE
       AS ellipsis_lines,
     len(list_filter(toks,
         w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE AS alpha_words,
@@ -811,10 +811,10 @@ def gopher_repetition(spark, sf_dir):
 GOPHER_REPETITION_SQL = r"""
 WITH q AS (
   SELECT doc_id,
-    list_filter(regexp_split_to_array(text, '\s+'),
+    list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'),
                      x -> x <> '') AS toks,
     list_filter(string_split(text, chr(10)),
-                ln -> regexp_matches(ln, '\S')) AS lines
+                ln -> regexp_matches(ln, '[^ \t\n\x0B\f\r]')) AS lines
   FROM documents),
 base AS (
   SELECT doc_id, lines,
@@ -833,12 +833,19 @@ base AS (
                      i -> toks[i] || ' ' || toks[i + 1])
     ELSE []::VARCHAR[] END AS bigrams
   FROM q),
+counts AS (
+  SELECT doc_id, g, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(bigrams) AS g FROM base)
+  GROUP BY doc_id, g),
+-- most FREQUENT bigram (ties -> larger coverage), then its
+-- count * (len-1) char coverage — mirrors the Spark sorted-scan fold
 top AS (
-  SELECT doc_id, max(cnt * (length(g) - 1)) AS top_chars FROM (
-    SELECT doc_id, g, count(*) AS cnt
-    FROM (SELECT doc_id, unnest(bigrams) AS g FROM base)
-    GROUP BY doc_id, g)
-  GROUP BY doc_id),
+  SELECT c.doc_id, max(c.cnt * (length(c.g) - 1)) AS top_chars
+  FROM counts c
+  JOIN (SELECT doc_id, max(cnt) AS best_cnt FROM counts
+        GROUP BY doc_id) b
+    ON b.doc_id = c.doc_id AND c.cnt = b.best_cnt
+  GROUP BY c.doc_id),
 r AS (
   SELECT b.doc_id, b.n_lines,
     CAST(round((b.n_lines - len(list_distinct(b.lines))) / b.nzl, 6)
@@ -929,12 +936,12 @@ def c4_clean(spark, sf_dir):
 C4_CLEAN_SQL = r"""
 WITH q AS (SELECT doc_id, text,
   list_filter(string_split(text, chr(10)),
-              ln -> regexp_matches(ln, '\S')) AS lines
+              ln -> regexp_matches(ln, '[^ \t\n\x0B\f\r]')) AS lines
   FROM documents),
 k AS (SELECT doc_id, text, lines,
   list_filter(lines, ln ->
-     regexp_matches(ln, '[.!?"”]\s*$')
-     AND len(list_filter(regexp_split_to_array(ln, '\s+'), x -> x <> '')) >= 5
+     regexp_matches(ln, '[.!?"”][ \t\n\x0B\f\r]*$')
+     AND len(list_filter(regexp_split_to_array(ln, '[ \t\n\x0B\f\r]+'), x -> x <> '')) >= 5
      AND NOT contains(lower(ln), 'javascript')) AS kept
   FROM q),
 r AS (SELECT doc_id,
@@ -1064,7 +1071,7 @@ WITH d AS (SELECT doc_id,
   FROM documents),
 p AS (SELECT doc_id,
   unnest(list_filter(string_split(text, chr(10)),
-                     ln -> regexp_matches(ln, '\S'))) AS para FROM d),
+                     ln -> regexp_matches(ln, '[^ \t\n\x0B\f\r]'))) AS para FROM d),
 f AS (SELECT md5(para) AS ph, count(DISTINCT doc_id) AS doc_freq
       FROM p GROUP BY md5(para)),
 pd AS (SELECT doc_id, count(*) AS n_paras, sum(length(para)) AS chars
@@ -1115,17 +1122,24 @@ _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_IP = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
 _PII_PHONE = r"\+\d{1,3}[- ]\d{3}[- ]\d{3,4}[- ]?\d{0,4}"
 
+# counts are PROGRESSIVE (each type counted after the prior type's
+# redaction, mirroring ops/text.redact_pii_columns), so n_<type>s ==
+# placeholders present in the redacted text even when matches overlap
 PII_SCRUB_SQL = f"""
-WITH p AS (SELECT doc_id, {_PII_PLANT_SQL} AS text FROM documents)
-SELECT doc_id,
+WITH p AS (SELECT doc_id, {_PII_PLANT_SQL} AS text FROM documents),
+s1 AS (SELECT doc_id,
   len(regexp_extract_all(text, '{_PII_EMAIL}'))::BIGINT AS n_emails,
-  len(regexp_extract_all(text, '{_PII_IP}'))::BIGINT AS n_ips,
-  len(regexp_extract_all(text, '{_PII_PHONE}'))::BIGINT AS n_phones,
-  md5(regexp_replace(regexp_replace(regexp_replace(text,
-      '{_PII_EMAIL}', '<EMAIL>', 'g'),
-      '{_PII_IP}', '<IP>', 'g'),
-      '{_PII_PHONE}', '<PHONE>', 'g')) AS redacted_md5
-FROM p
+  regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1
+  FROM p),
+s2 AS (SELECT doc_id, n_emails,
+  len(regexp_extract_all(t1, '{_PII_IP}'))::BIGINT AS n_ips,
+  regexp_replace(t1, '{_PII_IP}', '<IP>', 'g') AS t2
+  FROM s1)
+SELECT doc_id, n_emails, n_ips,
+  len(regexp_extract_all(t2, '{_PII_PHONE}'))::BIGINT AS n_phones,
+  md5(regexp_replace(t2, '{_PII_PHONE}', '<PHONE>', 'g'))
+    AS redacted_md5
+FROM s2
 """
 
 

@@ -568,6 +568,11 @@ def test_gopher_repetition_rules(spark):
         (2, "dup line\ndup line\ndup line\nunique line here"),
         (3, "spam ham spam ham spam ham spam ham spam ham"),
         (4, ""),
+        # 'aa bb' x3 (most frequent, 12 chars covered) vs
+        # 'longword1 longword2' x2 (less frequent but 36 chars): the
+        # metric must follow FREQUENCY — 12/48, not the bigger 36/48
+        (5, "aa bb aa bb aa bb longword1 longword2 "
+            "longword1 longword2"),
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     out = {r["doc_id"]: r for r in
@@ -580,18 +585,25 @@ def test_gopher_repetition_rules(spark):
     assert out[3]["top_bigram_char_ratio"] == 1.0  # 5x 'spam ham'
     assert out[3]["repetition_pass"] is False
     assert out[4]["n_lines"] == 0 and out[4]["repetition_pass"] is True
+    assert out[5]["top_bigram_char_ratio"] == 0.25  # argmax by count
 
 
 def test_pii_redaction(spark):
-    """Counts on the original text, placeholders in the redacted one;
-    an email's digits are never re-matched as phone/IP."""
+    """Progressive counts == placeholders in the redacted text; an
+    email's digits are never re-matched (or double-counted) as
+    phone/IP."""
     rows = [
         (1, "write to jane.doe+x@mail.example.org or call +44-207-946-0958"),
         (2, "server at 192.168.1.17 and 10.0.0.1, no contacts"),
         (3, "clean document with no identifiers at all"),
+        # the overlap case from the counts contract: the dotted quad
+        # inside the email is ONE email and ZERO IPs
+        (4, "user1.2.3.4@example.com pinged 8.8.8.8"),
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     out = {r["doc_id"]: r for r in text.redact_pii_columns(df).collect()}
+    assert (out[4]["n_emails"], out[4]["n_ips"]) == (1, 1)
+    assert out[4]["redacted_text"] == "<EMAIL> pinged <IP>"
     assert (out[1]["n_emails"], out[1]["n_phones"], out[1]["n_ips"]) \
         == (1, 1, 0)
     assert "<EMAIL>" in out[1]["redacted_text"]
@@ -664,6 +676,25 @@ def test_deterministic_sampling(spark):
     by_lang = {r["lang"]: r["count"] for r in strat}
     assert 400 < by_lang["en"] < 600      # ~50% of 1000
     assert 20 <= by_lang.get("de", 0) < 110  # ~5% of 1000
+
+    # fraction=1.0 keeps the WHOLE stratum (the 9-char '100000000'
+    # threshold bug kept only hashes starting with '0' — ~6.25%), and
+    # fractions inside 2^-33 of 1.0 round up to full keep too
+    assert sampling._threshold_hex(1.0) == "g"
+    assert sampling._threshold_hex(1.0 - 2.0 ** -34) == "g"
+    assert sampling._threshold_hex(0.0) == "00000000"
+    full = sampling.stratified_sample(
+        df, "lang", {"en": 1.0, "de": 0.25}, key="doc_id",
+        default_fraction=0.0, seed=9).groupBy("lang").count().collect()
+    by_lang_full = {r["lang"]: r["count"] for r in full}
+    assert by_lang_full["en"] == 1000     # every en row kept
+    assert 150 < by_lang_full["de"] < 350
+    assert len({r for r in by_lang_full}) == 2
+    # deterministic_sample at 1.0 via the threshold path (no guard)
+    kept_all = sampling.stratified_sample(
+        df, "lang", {}, key="doc_id", default_fraction=1.0,
+        seed=9).count()
+    assert kept_all == 2000
 
 
 def test_boilerplate_paragraphs(spark):

@@ -14,7 +14,11 @@ from __future__ import annotations
 import random
 import re
 
-ALPHABET = list("abcdefgXYZ0123456789") + list(" \n.!?#@-{•*\"") + ["..."]
+# \x0B (vertical tab) is deliberately in the alphabet: Java \s includes
+# it, RE2 \s does not — the explicit-class contract (text.WS_CLASS)
+# must keep all three implementations agreeing on it
+ALPHABET = (list("abcdefgXYZ0123456789") + list(" \n\x0B.!?#@-{•*\"")
+            + ["..."])
 
 
 def _random_texts(n=200, seed=20260817):
@@ -84,9 +88,14 @@ def test_repetition_matches_python(spark):
                         / max(len(lines), 1), 6)
         assert abs(r["dup_line_ratio"] - exp_dup) < 1e-9, (doc_id, t)
         bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        # most FREQUENT bigram, frequency ties broken by coverage
         top = 0
-        for g in set(bigrams):
-            top = max(top, bigrams.count(g) * (len(g) - 1))
+        if bigrams:
+            from collections import Counter
+            cnt = Counter(bigrams)
+            best = max(cnt.values())
+            top = max(c * (len(g) - 1) for g, c in cnt.items()
+                      if c == best)
         wc = max(sum(len(w) for w in toks), 1)
         exp_top = round(top / wc, 6) if len(toks) >= 2 else 0.0
         assert abs(r["top_bigram_char_ratio"] - exp_top) < 1e-9, \
@@ -101,13 +110,17 @@ def test_pii_matches_python(spark):
     got = {r["doc_id"]: r for r in T.redact_pii_columns(df).collect()}
     for doc_id, t in rows:
         r = got[doc_id]
-        for name in ("email", "ip", "phone"):
-            exp = len(re.findall(PII_PATTERNS[name], t))
-            assert r[f"n_{name}s"] == exp, (doc_id, name, t)
+        # counts are progressive: each type counted AFTER prior types
+        # were redacted, so counts == placeholders in the output
         red = t
         for name in ("email", "ip", "phone"):
+            exp = len(re.findall(PII_PATTERNS[name], red))
+            assert r[f"n_{name}s"] == exp, (doc_id, name, t)
             red = re.sub(PII_PATTERNS[name], f"<{name.upper()}>", red)
         assert r["redacted_text"] == red, (doc_id, t)
+        for name in ("email", "ip", "phone"):
+            assert r[f"n_{name}s"] == red.count(f"<{name.upper()}>"), \
+                (doc_id, name, t)
 
 
 def test_c4_clean_matches_python(spark):
@@ -128,19 +141,20 @@ def test_c4_clean_matches_python(spark):
 
 
 def test_unicode_whitespace_contract(spark):
-    """Tokenization separators are ASCII whitespace ONLY: Java's \\s
-    (Spark) and RE2's \\s (DuckDB) agree; U+00A0 (nbsp) and U+2003
-    (em space) are token characters on BOTH engines.  Python's
-    Unicode-aware re.\\s would disagree — this test pins the
-    cross-engine contract so a future 'fix' can't silently fork the
-    two sides of the oracle."""
+    """Tokenization separators are ASCII whitespace ONLY, via the
+    explicit class [ \\t\\n\\x0B\\f\\r] on BOTH engines.  A bare
+    \\s would fork them on \\x0B (Java's \\s includes vertical tab,
+    RE2's [\\t\\n\\f\\r ] does not); U+00A0 (nbsp) and U+2003 (em
+    space) are token characters on both.  Python's Unicode-aware
+    re.\\s would disagree too — pinned so a future 'fix' can't
+    silently fork the two sides of the oracle."""
     import duckdb
 
     from pyspark.sql import functions as F
 
     from log_parser_spark.ops.text import tokens_col
     texts = ["a\u00a0b c", "x\u2003y", "plain text",
-             "\u00a0", ""]
+             "\u00a0", "", "a\x0bb", "\x0b", "x\x0b\u00a0\x0by"]
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
                                ["i", "text"])
     spark_counts = {r["i"]: r["n"] for r in df.select(
@@ -150,10 +164,17 @@ def test_unicode_whitespace_contract(spark):
     duck_counts = {}
     for i, t in enumerate(texts):
         duck_counts[i] = con.execute(
-            r"SELECT len(list_filter(regexp_split_to_array(?, '\s+'),"
+            "SELECT len(list_filter(regexp_split_to_array(?,"
+            r" '[ \t\n\x0B\f\r]+'),"
             r" x -> x <> ''))", [t]).fetchone()[0]
     assert spark_counts == duck_counts
     # nbsp/em-space glue tokens together: 'a b' is ONE token
     assert spark_counts[0] == 2 and spark_counts[1] == 1
     assert spark_counts[3] == 1  # a lone nbsp IS a token
     assert spark_counts[4] == 0
+    # \x0B IS a separator on both engines (the explicit-class payoff:
+    # with a bare \s DuckDB/RE2 would keep 'a\x0bb' as ONE token
+    # while Spark/Java split it in two)
+    assert spark_counts[5] == 2
+    assert spark_counts[6] == 0  # a lone vertical tab is NOT a token
+    assert spark_counts[7] == 3  # x, nbsp, y — nbsp alone is a token
