@@ -34,6 +34,23 @@ from pyspark.sql import functions as F  # noqa: E402
 from log_parser_spark.engine.session import get_spark  # noqa: E402
 
 
+def cpu_calibration(n: int = 6_000_000) -> float:
+    """Machine-state sentinel: a FIXED single-thread pure-Python
+    workload (no Spark, no IO) timed in seconds.  On this host's
+    burst-credit hypervisor the deliverable CPU can drop ~3x after
+    sustained load (BENCH/BASELINE.md), which historically made round
+    benches whipsaw; the sentinel runs before and after the timed
+    workload so a throttled run is self-evident from the artifact
+    alone — compare calib_sec_* against the fresh-machine reference in
+    BENCH/BASELINE.md before reading anything into query deltas."""
+    t0 = time.perf_counter()
+    x = 1
+    for _ in range(n):
+        x = (x * 1103515245 + 12345) & 0xFFFFFFFF
+    assert x >= 0
+    return round(time.perf_counter() - t0, 3)
+
+
 def ensure_corpus(spark, n_pages: int, path: str) -> str:
     marker = os.path.join(path, "_DONE")
     if os.path.exists(marker):
@@ -107,6 +124,8 @@ def main():
     corpus_dir = os.environ.get(
         "BENCH_CORPUS_DIR", f"/tmp/bench_corpus_n{n_pages}")
 
+    calib_start = cpu_calibration()
+
     spark = get_spark(app_name="bench", cores=cpus, shuffle_partitions=cpus)
 
     ensure_corpus(spark, n_pages, corpus_dir)
@@ -137,11 +156,15 @@ def main():
         "gopher_quality", "gopher_repetition", "pii_scrub", "c4_clean",
         "stratified_sample_mix",
     ]
-    # best-of-N for queries whose single-shot time flaps in this
-    # sandbox's ±40% hypervisor noise band (r2->r3 the json report
-    # "regressed" 1.01->1.22s with zero plan change; min-of-3 makes the
-    # signal structural instead of machine-state)
-    best_of = {"log_parsed_json_report": 3, "embedding_ann_ivf": 3}
+    # best-of-N for every query whose single-shot time exceeds ~1.5 s:
+    # in this sandbox's ±40% hypervisor noise band a single leg is
+    # machine-state, not signal (r2->r3 the json report "regressed"
+    # 1.01->1.22 s with zero plan change; r3->r4 EVERY query moved
+    # +10-50% uniformly from host time-slicing).  min-of-3 plus the
+    # calibration sentinel makes regressions structural claims.
+    best_of = {"log_parsed_json_report": 3, "embedding_ann_ivf": 3,
+               "minhash_pairs": 3, "simhash_docs": 3, "doc_quality": 3,
+               "gopher_repetition": 3, "log_growth_total": 3}
     for name in bench_queries:
         legs = []
         for _ in range(best_of.get(name, 1)):
@@ -164,6 +187,12 @@ def main():
         "pages": pipe["n_docs"],
         "docs_per_sec": round(pipe["docs_per_sec"], 1),
         "gb_per_sec": round(pipe["gb_per_sec"], 4),
+        # machine-state sentinel (see cpu_calibration): fresh-machine
+        # reference value is recorded in BENCH/BASELINE.md; a run with
+        # calib_sec much above it was throttled and its timings are
+        # machine state, not code
+        "calib_sec_start": calib_start,
+        "calib_sec_end": cpu_calibration(),
     }
     print(json.dumps(result))
 

@@ -1729,10 +1729,18 @@ _DRIVER_ORDER = [
     "log_running_live_size", "log_read_density", "log_cumulative_writes",
     "log_job_cf", "log_quarantine_stats",
     "url_canonical_sorted", "cosine_drop_accounting", "ann_recall_ivf",
+    "ann_recall_clustered",
     "gopher_quality", "gopher_repetition", "pii_scrub", "c4_clean",
     "stratified_sample_mix", "boilerplate_stats",
-    # -- tier 2: SURVEY §2 log_* surface (D-green r01-r03)
-    "log_route_counts", "log_event_histogram", "log_counters_last",
+    # curation_yield rotated INTO the window for round 5 (it was the
+    # only registry query the driver had never enumerated — round-4
+    # VERDICT top item); to make room for it and the new
+    # ann_recall_clustered, the two log_* queries with the deepest
+    # driver history (log_route_counts / log_event_histogram, green in
+    # ALL of r01-r04) moved to positions 51/52
+    "curation_yield",
+    # -- tier 2: SURVEY §2 log_* surface (D-green r01-r04)
+    "log_counters_last",
     "log_flush_pairs", "log_flush_stats", "log_compression_stats",
     "log_read_latency_per_cf", "log_db_size", "log_warnings_enriched",
     "log_options_diff", "log_options_vs_baseline",
@@ -1740,12 +1748,8 @@ _DRIVER_ORDER = [
     "log_parsed_json_report", "log_compactions", "log_stall_totals",
     "log_blob_stats", "log_domain_rollup", "log_seek_stats",
     "log_filter_effectiveness", "log_growth_total", "log_block_cache",
-    # ------------------------------- position 50 boundary (28+22=50) --
-    # curation_yield is the one never-checked name past the boundary:
-    # it is a pure composition of gopher_quality x gopher_repetition x
-    # c4_clean x stratified_sample_mix, each individually inside the
-    # prefix, so demoting it keeps the full log_* surface in any 50-cap
-    "curation_yield",
+    # ------------------------------- position 50 boundary (30+20=50) --
+    "log_route_counts", "log_event_histogram",
     # -- tier 3: dedup / ANN core (D-green r01-r03; immediately after
     #    the boundary, inside any cap that grows past 50)
     "dedup_exact_docs", "minhash_pairs", "simhash_docs",

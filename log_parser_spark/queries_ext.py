@@ -1187,6 +1187,51 @@ def ann_recall_ivf(spark, sf_dir):
                     .alias("recall_at_k")))
 
 
+def ann_recall_clustered(spark, sf_dir):
+    """ann_recall_ivf's planted-cluster companion: the sf embeddings
+    are i.i.d. random (near-orthogonal — the ANN-hostile worst case,
+    recall 0.2-0.5 by construction), so this query rebuilds the SAME
+    row set as a 24-cluster corpus (centroid = cos() of the cluster
+    index, + 5% sin() noise — pure codegen, deterministic, no extra
+    input data) and reports recall per n_probe on it.  On clustered
+    data — the realistic shape of text-embedding corpora — IVF must
+    recover >= 0.5 of the exact top-k at moderate probes (pinned by
+    tests/test_ops.py::test_ann_recall_clustered_query); together the
+    two queries bound the probe-tuning envelope a 100 TB ANN run
+    needs: hostile floor and realistic operating point."""
+    from log_parser_spark.ops import similarity
+    ids = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id"))
+    cl = F.pmod("vec_id", F.lit(24)).cast("double")
+    vid = F.col("vec_id").cast("double")
+    emb = ids.withColumn("embedding", F.transform(
+        F.sequence(F.lit(1), F.lit(64)),
+        lambda j: (F.cos(cl * F.lit(37.0) + j.cast("double") * F.lit(17.0))
+                   + F.lit(0.05)
+                   * F.sin(vid * F.lit(13.0) + j.cast("double") * F.lit(7.0))
+                   ).cast("float")))
+    queries = emb.filter(F.col("vec_id") < 10)
+    k, n_centroids = 5, 16
+    truth = similarity.brute_force_topk(emb, queries, k=k).select(
+        "query_id", "neighbor_id")
+    tagged = None
+    for n_probe in (1, 2, 4):
+        a = (similarity.ivf_topk(emb, queries, k=k,
+                                 n_centroids=n_centroids, n_probe=n_probe)
+             .select("query_id", "neighbor_id")
+             .withColumn("n_probe", F.lit(n_probe)))
+        tagged = a if tagged is None else tagged.unionByName(a)
+    hits = tagged.join(truth, ["query_id", "neighbor_id"], "left_semi")
+    per = hits.groupBy("n_probe").agg(
+        F.count(F.lit(1)).alias("n_hits"))
+    tn = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    return (per.crossJoin(F.broadcast(tn))
+            .select(F.lit(n_centroids).alias("n_centroids"), "n_probe",
+                    F.lit(k).alias("k"), "n_hits", "n_truth",
+                    F.round(F.col("n_hits") / F.col("n_truth"), 4)
+                    .alias("recall_at_k")))
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES_EXT = {
@@ -1212,6 +1257,7 @@ QUERIES_EXT = {
     "lsh_drop_accounting": lsh_drop_accounting,
     "cosine_drop_accounting": cosine_drop_accounting,
     "ann_recall_ivf": ann_recall_ivf,
+    "ann_recall_clustered": ann_recall_clustered,
     "gopher_quality": gopher_quality,
     "gopher_repetition": gopher_repetition,
     "pii_scrub": pii_scrub,
@@ -1272,6 +1318,7 @@ GOLDEN_QUERIES = [
     "embedding_cosine_dedup",
     "cosine_drop_accounting",
     "ann_recall_ivf",
+    "ann_recall_clustered",
     "lsh_drop_accounting",
     "log_parsed_json_report",
 ]

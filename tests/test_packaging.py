@@ -59,8 +59,10 @@ def test_driver_query_order_puts_critical_queries_first():
     # every registered query has an oracle (zero no_oracle rows)
     assert set(oracles) == set(names)
 
-    # the 22 queries with no driver CORRECTNESS history come first
-    never_checked = {
+    # the round-3/4 additions (first driver-checked only in r04) stay
+    # at the front, and curation_yield — the one query the driver had
+    # never enumerated through r04 — is rotated INTO the window
+    least_proven = {
         "log_histograms_last", "log_counters_grid", "log_histograms_grid",
         "log_user_opers", "log_delete_opers", "log_table_creation_stats",
         "log_largest_compaction", "log_files", "log_live_files",
@@ -68,20 +70,44 @@ def test_driver_query_order_puts_critical_queries_first():
         "log_cumulative_writes", "log_cf_stalls", "log_cf_lifetime",
         "log_job_cf", "log_quarantine_stats", "url_canonical_dedup",
         "lsh_drop_accounting", "url_canonical_sorted",
-        "cosine_drop_accounting", "ann_recall_ivf", "gopher_quality",
+        "cosine_drop_accounting", "ann_recall_ivf",
+        "ann_recall_clustered", "gopher_quality",
         "gopher_repetition", "pii_scrub", "c4_clean",
-        "stratified_sample_mix", "boilerplate_stats"}
-    assert set(names[:len(never_checked)]) == never_checked
-    # curation_yield (a composition of four queries that ARE in the
-    # prefix) is the one never-checked name allowed past the 50-cap
-    # boundary so the full log_* surface stays inside it
-    assert names[50] == "curation_yield"
-
-    # the full log_* reference surface is driver-visible in any >=50 cap
+        "stratified_sample_mix", "boilerplate_stats", "curation_yield"}
+    assert set(names[:len(least_proven)]) == least_proven
+    # log_route_counts / log_event_histogram (driver-green in ALL of
+    # r01-r04 — the deepest history of any log_* queries) are the two
+    # log_* names rotated out to positions 50/51 to make room for
+    # curation_yield and ann_recall_clustered
+    assert names[50] == "log_route_counts"
+    assert names[51] == "log_event_histogram"
     log_queries = {n for n in names if n.startswith("log_")}
-    assert log_queries <= first50
-    # the dedup/ANN core (D-green in CORRECTNESS r01-r03 already) sits
+    assert log_queries - {"log_route_counts",
+                          "log_event_histogram"} <= first50
+    # the dedup/ANN core (D-green in CORRECTNESS r01-r04 already) sits
     # immediately after — inside any cap that grows past 50
     assert {"dedup_exact_docs", "minhash_pairs", "simhash_docs",
             "simhash_near_pairs", "embedding_cosine_dedup",
-            "embedding_ann_ivf"} <= set(names[:57])
+            "embedding_ann_ivf"} <= set(names[:58])
+
+
+def test_correctness_history_covers_registry():
+    """Rotation honesty guard: every registered query must either have
+    a green row in SOME driver CORRECTNESS_r*.json already, or sit
+    inside the current first-50 window (so the NEXT driver run checks
+    it).  Prevents a future addition from silently landing past the
+    50-query boundary with no oracle history."""
+    import glob
+    import json
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+    names = list(entrymod.queries())
+    checked = set()
+    for path in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+        checked |= set(json.load(open(path)))
+    uncovered = [n for n in names
+                 if n not in checked and n not in set(names[:50])]
+    assert not uncovered, (
+        f"queries with no driver history outside the 50-window: "
+        f"{uncovered} — reorder _DRIVER_ORDER (queries.py)")
