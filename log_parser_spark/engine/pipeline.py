@@ -103,13 +103,21 @@ def processed_buckets(spark: SparkSession, out_dir: str,
     return done
 
 
+def records_table_name(out_dir: str, bucket: int) -> str:
+    """Deterministic metastore name for a bucketed records table."""
+    import hashlib
+    h = hashlib.md5(os.path.abspath(out_dir).encode()).hexdigest()[:12]
+    return f"recs_{h}_b{bucket}"
+
+
 def run_pipeline(spark: SparkSession, out_dir: str,
                  pages: DataFrame | None = None,
                  pages_path: str | None = None,
                  n_buckets: int = 1, epoch: int = 0,
                  sink_names: list[str] | None = None,
                  resume: bool = False,
-                 only_buckets: list[int] | None = None) -> dict:
+                 only_buckets: list[int] | None = None,
+                 bucket_records: int | None = None) -> dict:
     """Runs parse->route->write for every pending bucket.
 
     pages_path (preferred at scale): parquet dir read worker-side, with
@@ -117,6 +125,17 @@ def run_pipeline(spark: SparkSession, out_dir: str,
     pages: any DataFrame source (tests); bucketing by url hash.
     only_buckets: restrict this worker/executor to a bucket subset
     (disjoint shards for multi-process scale-out).
+    bucket_records: opt-in co-located layout — write each records
+    table ``bucketBy(N, url).sortBy(url)`` (external table at the same
+    records path, registered as ``records_table_name(out_dir, b)``).
+    Every sink-branch join/window/aggregation key starts with url, so
+    reading the bucketed table makes them Exchange-free: windows and
+    aggregations accept subset-of-keys hash partitioning outright, and
+    equi-joins do under
+    ``spark.sql.requireAllClusterKeysForCoPartition=false`` (pinned by
+    tests/test_plans.py::test_production_records_bucketed_join_without_
+    exchange).  At 100 TB this converts every per-document sink shuffle
+    into a map-side pass over pre-clustered buckets.
     """
     assert (pages is None) != (pages_path is None), \
         "exactly one of pages / pages_path"
@@ -164,10 +183,17 @@ def run_pipeline(spark: SparkSession, out_dir: str,
             split_ids = [f"hashbucket-{bucket}"]
 
         rec_path = os.path.join(out_dir, "records", f"bucket={bucket}")
-        records_src.write.mode("overwrite").parquet(rec_path)
+        if bucket_records:
+            table = records_table_name(out_dir, bucket)
+            (records_src.write.mode("overwrite")
+             .bucketBy(bucket_records, "url").sortBy("url")
+             .option("path", rec_path).saveAsTable(table))
+            records = spark.table(table)
+        else:
+            records_src.write.mode("overwrite").parquet(rec_path)
+            records = spark.read.parquet(rec_path)
         if rows_in is None:
             rows_in = rows_acc.value
-        records = spark.read.parquet(rec_path)
 
         # sinks are independent writes over small routed subsets: submit
         # them concurrently so their fixed job latencies overlap (the

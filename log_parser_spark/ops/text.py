@@ -242,7 +242,12 @@ def gopher_repetition_columns(df: DataFrame, key: str = "doc_id",
     # most-frequent word-bigram coverage: sort the bigram array, then a
     # single linear fold finds the longest run of equal adjacent
     # elements — O(n log n) per doc and pure codegen (a per-distinct-
-    # bigram count would be O(n^2) per doc: fatal on a 100k-word page)
+    # bigram count would be O(n^2) per doc: fatal on a 100k-word page).
+    # Whale-document bound: the parser's MAX_DOC_BYTES cap (the Arrow
+    # utf-8 cell ceiling) bounds n; at Gopher's own n_words ceiling
+    # (100k words -> ~100k bigrams sorted in one task row) the whole
+    # pass is sub-second per doc — measured, not asserted, by
+    # tests/test_property_curation.py::test_repetition_whale_document
     from log_parser_spark.ops.dedup import shingles_from_tokens
     n_words = F.size("_toks")
     word_chars = F.aggregate(

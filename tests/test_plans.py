@@ -179,3 +179,49 @@ def test_bucketed_tables_join_without_exchange(spark, noaqe, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         for name in ("bkt_a", "bkt_b"):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_production_records_bucketed_join_without_exchange(
+        spark, noaqe, tmp_path):
+    """The bucketed-layout evidence applied to the PRODUCTION records
+    table: run_pipeline(bucket_records=N) writes records
+    bucketBy(N, url).sortBy(url), and the J3 flow-pairs sink join
+    (start side x aggregated finish side, keys url+job_id+cf+start_seq)
+    then sort-merge-joins with ZERO Exchange — both sides inherit the
+    url bucketing, the window and the finish aggregation accept the
+    url-subset partitioning outright, and the join accepts it under
+    requireAllClusterKeysForCoPartition=false (the 100 TB co-location
+    config; subset co-partitioning is always correct, it just clusters
+    coarser).  Same contract as
+    test_bucketed_tables_join_without_exchange but on the real
+    pipeline output, not a toy table."""
+    from log_parser_spark.corpus import write_pages_parquet
+    from log_parser_spark.engine import branches
+    from log_parser_spark.engine.joins import flow_pairs
+    from log_parser_spark.engine.pipeline import (records_table_name,
+                                                  run_pipeline)
+    prev_b = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_k = spark.conf.get(
+        "spark.sql.requireAllClusterKeysForCoPartition")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition",
+                   "false")
+    out = str(tmp_path / "out")
+    table = records_table_name(out, 0)
+    try:
+        pages = str(tmp_path / "pages")
+        write_pages_parquet(spark, pages, 120)
+        run_pipeline(spark, out, pages_path=pages, n_buckets=1,
+                     sink_names=["files"], bucket_records=8)
+        records = spark.table(table)
+        j = flow_pairs(branches.events(records), "Flush")
+        p = plan(j)
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p  # co-located end to end
+        assert "SelectedBucketsCount: 8 out of 8" in p
+        assert j.count() > 0  # the join actually pairs flushes
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_b)
+        spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition",
+                       prev_k)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

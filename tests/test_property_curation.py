@@ -140,6 +140,41 @@ def test_c4_clean_matches_python(spark):
         assert r["cleaned_text"] == "\n".join(kept), (doc_id, t)
 
 
+def test_repetition_whale_document(spark):
+    """The bigram metric at the Gopher n_words ceiling: a single
+    100k-word document (the whale case — ~100k bigrams array-sorted in
+    ONE task row) must still compute exactly and fast.  This measures
+    the documented O(n log n)-per-doc bound instead of asserting it;
+    the O(n^2) per-distinct-bigram formulation this replaced would
+    need ~10^10 comparisons here and time out."""
+    import time
+
+    from log_parser_spark.ops import text as T
+
+    n = 100_000
+    # 1000 distinct words cycled -> every bigram 'w{i} w{i+1}' repeats
+    # ~100x; plant a dominant bigram pair at slots 0/1 of each cycle
+    words = [f"w{i % 1000}" for i in range(n)]
+    t = " ".join(words)
+    df = spark.createDataFrame([(1, t)], ["doc_id", "text"])
+    t0 = time.time()
+    row = T.gopher_repetition_columns(df).collect()[0]
+    wall = time.time() - t0
+
+    # exact expectation from the Python mirror
+    from collections import Counter
+    bigrams = [f"{a} {b}" for a, b in zip(words, words[1:])]
+    cnt = Counter(bigrams)
+    best = max(cnt.values())
+    top = max(c * (len(g) - 1) for g, c in cnt.items() if c == best)
+    wc = sum(len(w) for w in words)
+    assert row["top_bigram_char_ratio"] == round(top / wc, 6)
+    assert row["n_lines"] == 1
+    # generous ceiling: the whale doc is one task; 60 s would mean the
+    # quadratic path snuck back in (measured ~1-3 s on this host)
+    assert wall < 60, f"whale document took {wall:.1f}s"
+
+
 def test_unicode_whitespace_contract(spark):
     """Tokenization separators are ASCII whitespace ONLY, via the
     explicit class [ \\t\\n\\x0B\\f\\r] on BOTH engines.  A bare

@@ -31,6 +31,54 @@ def test_stream_pipeline_available_now(spark, tmp_path):
     assert batches_before == batches_after
 
 
+def test_stream_sinks_equal_batch_sinks(spark, tmp_path):
+    """Streaming/batch parity (the streaming analogue of the resume
+    test): on the SAME pages corpus, the union of the stream's
+    per-batch sink outputs must equal the batch pipeline's sinks as a
+    multiset, and the stream's records table must carry exactly the
+    batch pipeline's rows.  Every sink is per-url-local, so batch
+    boundaries (file-source micro-batches) must not change any output
+    row — if a sink ever grew cross-document state this test catches
+    the stream/batch fork immediately."""
+    from log_parser_spark.engine.pipeline import run_pipeline
+    from log_parser_spark.engine.streaming import STREAM_SINKS
+
+    pages = str(tmp_path / "pages")
+    write_pages_parquet(spark, pages, 24)
+
+    bout = str(tmp_path / "batch_out")
+    run_pipeline(spark, bout, pages_path=pages, n_buckets=1,
+                 sink_names=[s for s in STREAM_SINKS if s != "quarantine"])
+
+    sout = str(tmp_path / "stream_out")
+    q = stream_pipeline(spark, pages, sout, str(tmp_path / "ckpt"),
+                        max_files_per_trigger=2)
+    q.awaitTermination(300)
+    assert not q.isActive
+    # multiple micro-batches, or the parity claim is vacuous
+    n_batches = len([d for d in os.listdir(os.path.join(sout, "records"))
+                     if d.startswith("batch=")])
+    assert n_batches >= 2, n_batches
+
+    def rows(path):
+        # drop the partition-layout column (batch=N vs bucket=N) —
+        # the only legitimate difference between the two pipelines
+        df = spark.read.parquet(path).drop("bucket", "batch")
+        return sorted(df.toJSON().collect())
+
+    # records parity: same parsed rows regardless of batching (seq is
+    # assigned per parse call and page-local, so it is comparable too)
+    assert rows(os.path.join(bout, "records")) == \
+        rows(os.path.join(sout, "records"))
+
+    for sink in STREAM_SINKS:
+        if sink == "quarantine":  # batch side ran without it; records
+            continue              # parity above covers its inputs
+        b = rows(os.path.join(bout, sink))
+        s = rows(os.path.join(sout, sink))
+        assert b == s, f"{sink}: stream/batch outputs differ"
+
+
 def test_watermarked_window_counts(spark, tmp_path):
     """Event-time windowed agg with watermark over a bounded stream."""
     import datetime as dt

@@ -1,0 +1,166 @@
+"""Empirical companion to the dedup bucket-cap argument: run the three
+capped near-dup ops (minhash LSH, simhash banded Hamming, cosine LSH)
+at a base corpus size and at ~10x that size, and fit the wall-time
+scaling exponent.  The caps bound every within-bucket join at
+max_bucket_size^2, so wall time must grow ~linearly in corpus size
+(slope ~1, gate < 1.3) — without the caps a boilerplate flood makes the
+bucket joins quadratic and the 10x leg explodes.
+
+Corpus construction (all deterministic, derived from the sf tables):
+
+- documents x10: ten copies, each passed through a DISTINCT letter
+  substitution cipher (translate of the 10 most common letters, rotated
+  per copy).  Within-copy shingle structure is preserved; cross-copy
+  shingles are disjoint — so the TRUE pair set grows ~10x, not
+  quadratically, and the measurement isolates engine scaling from
+  output-size scaling.
+- embeddings x10: ten copies under per-copy deterministic sign flips
+  (an orthogonal transform: within-copy cosine geometry preserved,
+  cross-copy directions scrambled).
+- each leg plants a bucket flood (every 50th doc shares one base text
+  + unique tail; 300 scalar multiples of one vector) so the
+  drop-accounting side output MUST be non-empty — the probe also
+  verifies the caps fire, not just that they're cheap.
+
+Timings are best-of-2 with the bench.py CPU-calibration sentinel per
+leg, appended to BENCH/dedup_scaling.jsonl.
+
+Usage: python tools/bench_dedup_scaling.py [sf_dir] [n_copies]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+OUT_PATH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "BENCH", "dedup_scaling.jsonl")
+
+_CIPHER_SRC = "etaoinshrd"
+_FLOOD_TEXT = " ".join(f"boiler plate footer token{i}" for i in range(15))
+
+
+def docs_leg(spark, sf_dir: str, n_copies: int):
+    base = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text"))
+    legs = []
+    for i in range(n_copies):
+        dst = _CIPHER_SRC[i:] + _CIPHER_SRC[:i]
+        c = base.select(
+            (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
+            F.translate("text", _CIPHER_SRC, dst).alias("text"))
+        legs.append(c)
+    out = legs[0]
+    for c in legs[1:]:
+        out = out.unionByName(c)
+    # bucket flood: every 50th doc shares one base text + unique tail
+    return out.withColumn(
+        "text",
+        F.when(F.pmod("doc_id", F.lit(50)) == 0,
+               F.concat(F.lit(_FLOOD_TEXT + " tail"),
+                        F.col("doc_id").cast("string")))
+        .otherwise(F.col("text")))
+
+
+def emb_leg(spark, sf_dir: str, n_copies: int):
+    base = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .select("vec_id", "embedding"))
+    def make_flip(i):
+        def flip(v, j):
+            sign = (F.lit(1.0) - F.lit(2.0)
+                    * (F.cos(F.lit(float(i * 31 + 1))
+                             * (j + 1).cast("double") * F.lit(7.0))
+                       < 0).cast("double"))
+            return (v.cast("double") * sign).cast("float")
+        return flip
+
+    legs = []
+    for i in range(n_copies):
+        c = base.select(
+            (F.col("vec_id") + i * 10_000_000).alias("vec_id"),
+            F.transform("embedding", make_flip(i)).alias("embedding"))
+        legs.append(c)
+    out = legs[0]
+    for c in legs[1:]:
+        out = out.unionByName(c)
+    flood = spark.range(300).select(
+        (F.col("id") + 900_000_000).alias("vec_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(64)),
+                    lambda j: (j.cast("double")
+                               * (F.col("id") + 1).cast("double"))
+                    .cast("float")).alias("embedding"))
+    return out.unionByName(flood)
+
+
+def timed(df) -> float:
+    t0 = time.time()
+    df.write.mode("overwrite").format("noop").save()
+    return round(time.time() - t0, 3)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n_copies = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+
+    from bench import cpu_calibration
+    from log_parser_spark.engine.session import get_spark
+    from log_parser_spark.ops import dedup
+
+    spark = get_spark(app_name="dedup_scaling", cores=32,
+                      shuffle_partitions=32)
+
+    def ops_for(docs, emb):
+        mh, mh_drops = dedup.minhash_lsh_pairs(
+            docs, max_bucket_size=64, with_drop_stats=True)
+        sh, sh_drops = dedup.simhash_pairs(
+            docs, max_bucket_size=64, with_drop_stats=True)
+        co, co_drops = dedup.embedding_cosine_dedup(
+            emb, max_bucket_size=64, with_drop_stats=True)
+        return {"minhash": (mh, mh_drops), "simhash": (sh, sh_drops),
+                "cosine": (co, co_drops)}
+
+    results = []
+    for tag, copies in (("base", 1), ("x10", n_copies)):
+        docs = docs_leg(spark, sf_dir, copies)
+        emb = emb_leg(spark, sf_dir, copies)
+        n_docs, n_vecs = docs.count(), emb.count()
+        for op, (pairs, drops) in ops_for(docs, emb).items():
+            calib = cpu_calibration()
+            legs = [timed(pairs), timed(pairs)]
+            n_drop = drops.count()
+            row = {"op": op, "leg": tag, "copies": copies,
+                   "n_docs": n_docs if op != "cosine" else n_vecs,
+                   "wall_sec": min(legs), "legs": legs,
+                   "n_dropped_buckets": n_drop, "calib_sec": calib}
+            print(json.dumps(row))
+            results.append(row)
+
+    summary = {"summary": True, "sf_dir": sf_dir, "slopes": {}}
+    for op in ("minhash", "simhash", "cosine"):
+        a = next(r for r in results if r["op"] == op and r["leg"] == "base")
+        b = next(r for r in results if r["op"] == op and r["leg"] == "x10")
+        slope = (math.log(b["wall_sec"] / a["wall_sec"])
+                 / math.log(b["n_docs"] / a["n_docs"]))
+        summary["slopes"][op] = round(slope, 3)
+        assert b["n_dropped_buckets"] > 0, \
+            f"{op}: flood did not trip the bucket cap — probe invalid"
+    summary["gate"] = "slope < 1.3"
+    summary["pass"] = all(s < 1.3 for s in summary["slopes"].values())
+    print(json.dumps(summary))
+
+    os.makedirs(os.path.dirname(OUT_PATH), exist_ok=True)
+    with open(OUT_PATH, "a") as f:
+        for row in results:
+            f.write(json.dumps(row) + "\n")
+        f.write(json.dumps(summary) + "\n")
+
+
+if __name__ == "__main__":
+    main()
