@@ -147,6 +147,29 @@ best-of-2 legs):
 `BENCH_ONLY_PIPELINE=1 python bench.py` equivalents.  Pinned-leg peaks
 above it (and the plain-multiprocessing 3789 docs/sec control) show
 the headroom the same code reaches when the host isn't time-slicing.
+
+## Machine-state calibration sentinel (round 5)
+
+`bench.py` times a FIXED single-thread pure-Python workload
+(`cpu_calibration`, 6M-iteration LCG loop — no Spark, no IO) before
+and after the timed run and records both in the JSON
+(`calib_sec_start` / `calib_sec_end`).  Fresh-machine reference on
+this host: **~0.72 s**.  Reading a round bench: a sentinel near 0.72
+means timings are comparable; 1.5-3x higher means the hypervisor was
+time-slicing and deltas are machine state, not code.  Combined with
+best-of-3 legs on every query >~1.5 s single-shot, a regression now
+has to survive three legs AND a clean sentinel to be believed.
+
+## Dedup cap scale probe (round 5)
+
+`tools/bench_dedup_scaling.py` (BENCH/dedup_scaling.jsonl): the three
+capped near-dup ops at 1x vs 10x corpus (per-copy cipher / sign-flip
+scrambling so the true output grows linearly; planted floods force
+the caps to fire — every 10x leg has non-empty drop accounting).
+Fitted wall-time exponents: minhash 0.375, simhash 0.239, cosine
+0.415 — all far under the 1.3 gate.  Empirical companion to the
+max_bucket_size^2 bound argument: with caps on, a 10x corpus costs
+~10x, never the flood-quadratic blowup.
 """)
 
 
