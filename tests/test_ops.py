@@ -710,6 +710,18 @@ def test_deterministic_sampling(spark):
         seed=9).count()
     assert kept_all == 2000
 
+    # the DuckDB oracle shares _threshold_hex: pin that 'g' sorts
+    # above every hex hash THERE too (the 9-char bug was invisible to
+    # the cross-engine check precisely because both sides shared it)
+    import duckdb
+    con = duckdb.connect()
+    n = con.execute(
+        "SELECT count(*) FROM range(2000) t(i) "
+        "WHERE substr(md5(i::VARCHAR || ':9'), 1, 8) < 'g'"
+    ).fetchone()[0]
+    assert n == 2000
+    assert con.execute("SELECT 'ffffffff' < 'g'").fetchone()[0]
+
 
 def test_boilerplate_paragraphs(spark):
     """A paragraph shared by >= min_doc_freq distinct docs is flagged;
