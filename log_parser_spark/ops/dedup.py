@@ -53,6 +53,54 @@ def shingles_col(text_col: str = "text", k: int = 3):
     return shingles_from_tokens(tokens_col(text_col), k)
 
 
+def ngram_contamination(docs: DataFrame, eval_docs: DataFrame,
+                        key: str = "doc_id", text_col: str = "text",
+                        k: int = 8) -> DataFrame:
+    """Benchmark decontamination (the train/eval overlap check every
+    pre-training pipeline runs before shipping data): per TRAIN
+    document, how many of its distinct word ``k``-gram shingles also
+    appear anywhere in the EVAL set, as counts and a ratio.  The
+    standard published recipe is exact n-gram collision at k≈8-13
+    (e.g. the GPT-3 appendix / open reproductions); any hit marks the
+    training doc for audit or removal.
+
+    Scale shape: the eval side of the join is the distinct shingle set
+    of the BENCHMARK corpus — thousands of docs, not billions — so it
+    broadcasts; the train side is explode -> broadcast-semi-probe ->
+    groupBy(key), i.e. one map-side-combinable shuffle on the doc key
+    and zero shuffles of shingle strings.  Shingles are md5-hashed
+    before the join so both the broadcast set and the probe rows are
+    fixed-width (and the DuckDB oracle reproduces the exact same keys;
+    xxhash64 would differ between engines).
+
+    Returns one row per train doc: (key, n_shingles, n_contaminated,
+    contamination_ratio, is_contaminated)."""
+    toks = docs.withColumn("_toks", tokens_col(text_col))
+    sh = toks.select(
+        key, F.array_distinct(shingles_from_tokens("_toks", k))
+        .alias("_sh"))
+    ev_toks = eval_docs.withColumn("_toks", tokens_col(text_col))
+    ev = (ev_toks.select(F.explode(F.array_distinct(
+        shingles_from_tokens("_toks", k))).alias("_g"))
+        .select(F.md5("_g").alias("h")).distinct())
+
+    probe = sh.select(key, F.explode("_sh").alias("_g")) \
+        .select(key, F.md5("_g").alias("h"))
+    hits = (probe.join(F.broadcast(ev), "h", "left_semi")
+            .groupBy(key).agg(F.count(F.lit(1)).alias("n_contaminated")))
+    base = sh.select(key, F.size("_sh").alias("n_shingles"))
+    out = (base.join(hits, key, "left")
+           .select(key, "n_shingles",
+                   F.coalesce("n_contaminated", F.lit(0)).cast("long")
+                   .alias("n_contaminated")))
+    return (out.withColumn(
+        "contamination_ratio",
+        F.round(F.col("n_contaminated")
+                / F.greatest(F.col("n_shingles").cast("double"),
+                             F.lit(1.0)), 6))
+        .withColumn("is_contaminated", F.col("n_contaminated") > 0))
+
+
 def minhash_signatures(df: DataFrame, key: str = "doc_id",
                        text_col: str = "text", num_perm: int = 16,
                        k: int = 3) -> DataFrame:

@@ -1732,15 +1732,14 @@ _DRIVER_ORDER = [
     "ann_recall_clustered",
     "gopher_quality", "gopher_repetition", "pii_scrub", "c4_clean",
     "stratified_sample_mix", "boilerplate_stats",
-    # curation_yield rotated INTO the window for round 5 (it was the
-    # only registry query the driver had never enumerated — round-4
-    # VERDICT top item); to make room for it and the new
-    # ann_recall_clustered, the two log_* queries with the deepest
-    # driver history (log_route_counts / log_event_histogram, green in
-    # ALL of r01-r04) moved to positions 51/52
-    "curation_yield",
+    # rotated INTO the window for round 5: curation_yield (the one
+    # query the driver had never enumerated — round-4 VERDICT top
+    # item) plus the two new round-5 queries; to make room, the three
+    # log_* queries with the deepest driver history
+    # (log_route_counts / log_event_histogram / log_counters_last,
+    # green in ALL of r01-r04) moved to positions 51-53
+    "curation_yield", "ngram_contamination",
     # -- tier 2: SURVEY §2 log_* surface (D-green r01-r04)
-    "log_counters_last",
     "log_flush_pairs", "log_flush_stats", "log_compression_stats",
     "log_read_latency_per_cf", "log_db_size", "log_warnings_enriched",
     "log_options_diff", "log_options_vs_baseline",
@@ -1748,8 +1747,8 @@ _DRIVER_ORDER = [
     "log_parsed_json_report", "log_compactions", "log_stall_totals",
     "log_blob_stats", "log_domain_rollup", "log_seek_stats",
     "log_filter_effectiveness", "log_growth_total", "log_block_cache",
-    # ------------------------------- position 50 boundary (30+20=50) --
-    "log_route_counts", "log_event_histogram",
+    # ------------------------------- position 50 boundary (31+19=50) --
+    "log_route_counts", "log_event_histogram", "log_counters_last",
     # -- tier 3: dedup / ANN core (D-green r01-r03; immediately after
     #    the boundary, inside any cap that grows past 50)
     "dedup_exact_docs", "minhash_pairs", "simhash_docs",

@@ -1232,6 +1232,71 @@ def ann_recall_clustered(spark, sf_dir):
                     .alias("recall_at_k")))
 
 
+# ---------------------------------------- benchmark decontamination (r5)
+
+_EVAL_SENTENCE = ("the quick benchmark sentence that must never leak "
+                  "into any training corpus at all")
+
+
+def ngram_contamination(spark, sf_dir):
+    """Train/eval overlap check (ops/dedup.ngram_contamination): every
+    97th doc is the planted EVAL set, and every doc with id % 10 == 3
+    gets the eval marker sentence appended — the op must count exactly
+    the 7 sentence-internal 8-gram collisions on those docs (14 tokens
+    -> 7 distinct 8-grams), flag the eval docs themselves at ratio
+    1.0, and leave everything else clean.  Broadcast-semi-join shape:
+    the eval shingle set is benchmark-sized, so at 100 TB the train
+    side never shuffles shingles — one combinable groupBy on doc_id."""
+    from log_parser_spark.ops import dedup
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text"))
+    planted = docs.withColumn(
+        "text",
+        F.when((F.pmod("doc_id", F.lit(97)) == 0)
+               | (F.pmod("doc_id", F.lit(10)) == 3),
+               F.concat("text", F.lit("\n" + _EVAL_SENTENCE)))
+        .otherwise(F.col("text")))
+    eval_docs = planted.filter(F.pmod("doc_id", F.lit(97)) == 0)
+    return dedup.ngram_contamination(planted, eval_docs, k=8)
+
+
+def _contamination_sql():
+    sent = _EVAL_SENTENCE
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 97 = 0 OR doc_id % 10 = 3
+              THEN text || chr(10) || '{sent}' ELSE text END AS text
+  FROM documents),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'),
+                     x -> x <> '') AS t
+  FROM planted),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 8 THEN
+           list_distinct(list_transform(
+             generate_series(1, len(t) - 7),
+             i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                      t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' ||
+                      t[i+6] || ' ' || t[i+7])))
+         ELSE []::VARCHAR[] END AS s
+  FROM toks),
+ev AS (SELECT DISTINCT unnest(s) AS h FROM sh WHERE doc_id % 97 = 0),
+probe AS (SELECT doc_id, unnest(s) AS h FROM sh),
+hits AS (SELECT doc_id, count(*) AS n_contaminated
+         FROM probe JOIN ev USING (h) GROUP BY doc_id)
+SELECT sh.doc_id, len(sh.s)::INTEGER AS n_shingles,
+       coalesce(hits.n_contaminated, 0)::BIGINT AS n_contaminated,
+       CAST(round(coalesce(hits.n_contaminated, 0)
+                  / greatest(len(sh.s)::DOUBLE, 1.0), 6) AS DOUBLE)
+         AS contamination_ratio,
+       coalesce(hits.n_contaminated, 0) > 0 AS is_contaminated
+FROM sh LEFT JOIN hits USING (doc_id)
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES_EXT = {
@@ -1265,6 +1330,7 @@ QUERIES_EXT = {
     "stratified_sample_mix": stratified_sample_mix,
     "boilerplate_stats": boilerplate_stats,
     "curation_yield": curation_yield,
+    "ngram_contamination": ngram_contamination,
 }
 
 ORACLE_SQL_EXT = {
@@ -1294,6 +1360,7 @@ ORACLE_SQL_EXT = {
     "stratified_sample_mix": STRATIFIED_SAMPLE_SQL,
     "boilerplate_stats": BOILERPLATE_SQL,
     "curation_yield": _curation_yield_sql(),
+    "ngram_contamination": _contamination_sql(),
 }
 
 # -------------------------------------------- golden-parquet oracles

@@ -723,6 +723,35 @@ def test_deterministic_sampling(spark):
     assert con.execute("SELECT 'ffffffff' < 'g'").fetchone()[0]
 
 
+def test_ngram_contamination(spark):
+    """Decontamination semantics: a train doc sharing an 8-gram with
+    the eval set is flagged with the exact collision count; clean docs
+    and sub-8-token docs stay at zero; eval docs score 1.0 against
+    themselves."""
+    marker = "alpha beta gamma delta epsilon zeta eta theta iota"
+    rows = [
+        (1, f"some ordinary training text here today {marker}"),  # hit
+        (2, "completely unrelated words that never collide with "
+            "anything else in this corpus at all"),               # clean
+        (3, "tiny doc"),                                          # <8 toks
+        (100, marker),                                            # eval
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    ev = df.filter(F.col("doc_id") >= 100)
+    out = {r["doc_id"]: r for r in
+           dedup.ngram_contamination(df, ev, k=8).collect()}
+    # marker = 9 tokens -> 2 distinct 8-grams, both present in eval
+    assert out[100]["n_shingles"] == 2
+    assert out[100]["contamination_ratio"] == 1.0
+    assert out[1]["n_contaminated"] == 2
+    assert out[1]["is_contaminated"] is True
+    assert 0 < out[1]["contamination_ratio"] < 1
+    assert out[2]["n_contaminated"] == 0
+    assert out[2]["is_contaminated"] is False
+    assert out[3]["n_shingles"] == 0
+    assert out[3]["contamination_ratio"] == 0.0
+
+
 def test_boilerplate_paragraphs(spark):
     """A paragraph shared by >= min_doc_freq distinct docs is flagged;
     unique paragraphs never are, and repeats WITHIN one doc don't count

@@ -181,6 +181,23 @@ def test_bucketed_tables_join_without_exchange(spark, noaqe, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
+def test_contamination_probe_is_broadcast(spark, tmp_path):
+    """Decontamination scale shape: the eval shingle set must reach the
+    train side as a BROADCAST semi-join — the train corpus's shingles
+    are never hash-shuffled (at 100 TB that shuffle would dwarf the
+    whole job).  Allowed exchanges: the eval-side distinct (benchmark-
+    sized) and the final combinable groupBy(doc_id)."""
+    import re
+
+    from log_parser_spark.queries_ext import ngram_contamination
+    df = ngram_contamination(spark, "/root/testdata/sf0.001")
+    p = plan(df)
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 1
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)#", p)
+    assert set(keys) <= {"doc_id", "h"}, keys
+
+
 def test_production_records_bucketed_join_without_exchange(
         spark, noaqe, tmp_path):
     """The bucketed-layout evidence applied to the PRODUCTION records
