@@ -53,6 +53,43 @@ def deterministic_sample(df: DataFrame, key: str, fraction: float,
     return df.filter(sample_hash_col(key, seed) < _threshold_hex(fraction))
 
 
+def temperature_mix_weights(df: DataFrame, strata_col: str,
+                            n_tokens_col: str, alpha: float = 0.3,
+                            token_budget: float | None = None
+                            ) -> DataFrame:
+    """Temperature-based mixing weights — the op that COMPUTES the
+    fractions `stratified_sample` consumes (the published multilingual
+    / multi-source recipe: sample stratum i with probability
+    p_i = n_i^alpha / sum_j n_j^alpha, alpha in (0, 1] flattening the
+    head so low-resource strata survive).
+
+    Per stratum: doc and token counts, the normalized weight, and —
+    when ``token_budget`` is given — the deterministic sampling
+    fraction f_i = budget * p_i / n_i that realizes the mix
+    (capped at 1.0: a stratum needing upsampling reports fraction 1.0
+    and its shortfall is visible as weight * budget > n_tokens).
+
+    Shape: one groupBy on the stratum column (map-side combinable);
+    the normalization total is a 1-row broadcast crossJoin over the
+    per-stratum aggregate (strata are few by construction) — no
+    global window, no driver-side math."""
+    agg = df.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens_col).cast("long").alias("n_tokens"))
+    agg = agg.withColumn(
+        "_w", F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)))
+    tot = agg.agg(F.sum("_w").alias("_tw"))
+    out = (agg.crossJoin(F.broadcast(tot))
+           .withColumn("weight", F.round(F.col("_w") / F.col("_tw"), 6)))
+    if token_budget is not None:
+        frac = F.least(
+            F.lit(1.0),
+            F.lit(float(token_budget)) * (F.col("_w") / F.col("_tw"))
+            / F.col("n_tokens").cast("double"))
+        out = out.withColumn("sample_fraction", F.round(frac, 6))
+    return out.drop("_w", "_tw")
+
+
 def stratified_sample(df: DataFrame, strata_col: str,
                       fractions: dict[str, float], key: str,
                       default_fraction: float = 0.0,

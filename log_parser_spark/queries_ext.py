@@ -1232,6 +1232,55 @@ def ann_recall_clustered(spark, sf_dir):
                     .alias("recall_at_k")))
 
 
+# ------------------------------------- temperature mixing weights (r5)
+
+_MIX_ALPHA = 0.3
+_MIX_TOKEN_BUDGET = 100_000.0
+
+
+def temperature_mix_weights(spark, sf_dir):
+    """The data-mixing planner (ops/sampling.temperature_mix_weights):
+    per-source token counts -> n^alpha temperature weights -> the
+    deterministic per-source sampling fraction that realizes a
+    100k-token budget.  This is the op that produces the fractions
+    stratified_sample consumes; together they close the mixing loop
+    (plan the mix, then draw it reproducibly).  Tokens are the BPE
+    estimator so the budget is in model tokens, not whitespace
+    words."""
+    from log_parser_spark.ops import sampling
+    from log_parser_spark.ops import text as T
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("source", T.bpe_token_count_col("text").alias("n_bpe")))
+    out = sampling.temperature_mix_weights(
+        docs, "source", "n_bpe", alpha=_MIX_ALPHA,
+        token_budget=_MIX_TOKEN_BUDGET)
+    return out.select("source", "n_docs", "n_tokens", "weight",
+                      "sample_fraction")
+
+
+def _temperature_mix_sql():
+    from log_parser_spark.ops.text import BPE_PIECE_PATTERN
+    bpe = BPE_PIECE_PATTERN.replace("'", "''")
+    return f"""
+WITH d AS (
+  SELECT source,
+         len(regexp_extract_all(text, '{bpe}')) AS n_bpe
+  FROM documents),
+a AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         CAST(sum(n_bpe) AS BIGINT) AS n_tokens,
+         pow(sum(n_bpe)::DOUBLE, {_MIX_ALPHA}) AS w
+  FROM d GROUP BY source),
+t AS (SELECT sum(w) AS tw FROM a)
+SELECT source, n_docs, n_tokens,
+       CAST(round(w / tw, 6) AS DOUBLE) AS weight,
+       CAST(round(least(1.0, {_MIX_TOKEN_BUDGET} * (w / tw)
+                             / n_tokens::DOUBLE), 6) AS DOUBLE)
+         AS sample_fraction
+FROM a CROSS JOIN t
+"""
+
+
 # ---------------------------------------- benchmark decontamination (r5)
 
 _EVAL_SENTENCE = ("the quick benchmark sentence that must never leak "
@@ -1331,6 +1380,7 @@ QUERIES_EXT = {
     "boilerplate_stats": boilerplate_stats,
     "curation_yield": curation_yield,
     "ngram_contamination": ngram_contamination,
+    "temperature_mix_weights": temperature_mix_weights,
 }
 
 ORACLE_SQL_EXT = {
@@ -1361,6 +1411,7 @@ ORACLE_SQL_EXT = {
     "boilerplate_stats": BOILERPLATE_SQL,
     "curation_yield": _curation_yield_sql(),
     "ngram_contamination": _contamination_sql(),
+    "temperature_mix_weights": _temperature_mix_sql(),
 }
 
 # -------------------------------------------- golden-parquet oracles

@@ -723,6 +723,27 @@ def test_deterministic_sampling(spark):
     assert con.execute("SELECT 'ffffffff' < 'g'").fetchone()[0]
 
 
+def test_temperature_mix_weights(spark):
+    """n^alpha flattening: weights normalize to 1, the smaller stratum
+    gets MORE than its proportional share, and the budgeted sampling
+    fraction caps at 1.0 for strata needing upsampling."""
+    from log_parser_spark.ops import sampling
+    rows = ([(i, "big", 100) for i in range(900)]
+            + [(i + 1000, "small", 100) for i in range(100)])
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tok"])
+    out = {r["source"]: r for r in sampling.temperature_mix_weights(
+        df, "source", "n_tok", alpha=0.5,
+        token_budget=50_000).collect()}
+    assert abs(out["big"]["weight"] + out["small"]["weight"] - 1) < 1e-6
+    # proportional share would be 0.1; sqrt-temperature gives 0.25
+    assert out["small"]["weight"] == 0.25
+    assert out["big"]["weight"] == 0.75
+    # budget 50k: small stratum needs 12500 of its 10000 tokens -> 1.0
+    assert out["small"]["sample_fraction"] == 1.0
+    assert abs(out["big"]["sample_fraction"]
+               - round(50_000 * 0.75 / 90_000, 6)) < 1e-9
+
+
 def test_ngram_contamination(spark):
     """Decontamination semantics: a train doc sharing an 8-gram with
     the eval set is flagged with the exact collision count; clean docs

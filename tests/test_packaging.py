@@ -74,24 +74,25 @@ def test_driver_query_order_puts_critical_queries_first():
         "ann_recall_clustered", "gopher_quality",
         "gopher_repetition", "pii_scrub", "c4_clean",
         "stratified_sample_mix", "boilerplate_stats", "curation_yield",
-        "ngram_contamination"}
+        "ngram_contamination", "temperature_mix_weights"}
     assert set(names[:len(least_proven)]) == least_proven
-    # log_route_counts / log_event_histogram / log_counters_last
-    # (driver-green in ALL of r01-r04 — the deepest history of any
-    # log_* queries) are the three log_* names rotated out to
-    # positions 50-52 to make room for curation_yield and the two
-    # round-5 additions
+    # the four log_* queries driver-green in ALL of r01-r04 (the
+    # deepest history in the registry) are rotated out to positions
+    # 50-53 to make room for curation_yield and the three round-5
+    # additions
     assert names[50] == "log_route_counts"
     assert names[51] == "log_event_histogram"
     assert names[52] == "log_counters_last"
+    assert names[53] == "log_flush_pairs"
     log_queries = {n for n in names if n.startswith("log_")}
     assert log_queries - {"log_route_counts", "log_event_histogram",
-                          "log_counters_last"} <= first50
+                          "log_counters_last",
+                          "log_flush_pairs"} <= first50
     # the dedup/ANN core (D-green in CORRECTNESS r01-r04 already) sits
     # immediately after — inside any cap that grows past 50
     assert {"dedup_exact_docs", "minhash_pairs", "simhash_docs",
             "simhash_near_pairs", "embedding_cosine_dedup",
-            "embedding_ann_ivf"} <= set(names[:59])
+            "embedding_ann_ivf"} <= set(names[:60])
 
 
 def test_correctness_history_covers_registry():
