@@ -101,6 +101,55 @@ def ngram_contamination(docs: DataFrame, eval_docs: DataFrame,
         .withColumn("is_contaminated", F.col("n_contaminated") > 0))
 
 
+def connected_components(edges: DataFrame, a: str = "a", b: str = "b",
+                         max_iters: int = 15) -> DataFrame:
+    """Connected components over an undirected candidate-pair graph —
+    the step that turns near-dup PAIRS into dedup CLUSTERS (pick one
+    representative per component; the published near-dedup pipelines
+    all end with this).  Min-label propagation: every node starts as
+    its own label; each round a node adopts the minimum label among
+    itself and its neighbors; fixpoint = component = min node id.
+
+    Returns (node, component, cluster_size).
+
+    Scale posture: each round is one shuffle join on the node id plus
+    one combinable groupBy-min, and the loop EARLY-STOPS on the first
+    round with zero label changes (one count() action per round — on
+    near-dup graphs, whose components are small chains/cliques,
+    convergence takes ~component-diameter rounds, typically 2-4).
+    Labels are localCheckpoint()ed every round so the plan stays flat
+    instead of growing once per iteration (lineage blowup is the
+    classic iterative-Spark failure).  For adversarial long-path
+    graphs the round bound is ``max_iters`` — raise it, or swap in a
+    star-contraction variant, if components with diameter > max_iters
+    are expected; this op targets dedup graphs, where they are not."""
+    ab = edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    bidir = ab.unionByName(
+        ab.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    bidir = bidir.distinct().localCheckpoint(eager=True)
+    labels = (bidir.select(F.col("src").alias("node")).distinct()
+              .withColumn("component", F.col("node"))
+              .localCheckpoint(eager=True))
+
+    for _ in range(max_iters):
+        nbr = (bidir.join(labels, bidir["src"] == labels["node"])
+               .select(F.col("dst").alias("node"), "component"))
+        new = (labels.unionByName(nbr)
+               .groupBy("node").agg(F.min("component").alias("component"))
+               .localCheckpoint(eager=True))
+        changed = (new.join(labels.withColumnRenamed("component", "_old"),
+                            "node")
+                   .filter(F.col("component") != F.col("_old")).count())
+        labels = new
+        if changed == 0:
+            break
+
+    sizes = labels.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "component").select(
+        "node", "component", "cluster_size")
+
+
 def minhash_signatures(df: DataFrame, key: str = "doc_id",
                        text_col: str = "text", num_perm: int = 16,
                        k: int = 3) -> DataFrame:

@@ -1739,17 +1739,18 @@ _DRIVER_ORDER = [
     # log_event_histogram / log_counters_last / log_flush_pairs, green
     # in ALL of r01-r04) moved to positions 51-54
     "curation_yield", "ngram_contamination", "temperature_mix_weights",
+    "dedup_cluster_assignment",
     # -- tier 2: SURVEY §2 log_* surface (D-green r01-r04)
-    "log_flush_stats", "log_compression_stats",
+    "log_compression_stats",
     "log_read_latency_per_cf", "log_db_size", "log_warnings_enriched",
     "log_options_diff", "log_options_vs_baseline",
     "log_options_common_unique", "log_parsed_summaries",
     "log_parsed_json_report", "log_compactions", "log_stall_totals",
     "log_blob_stats", "log_domain_rollup", "log_seek_stats",
     "log_filter_effectiveness", "log_growth_total", "log_block_cache",
-    # ------------------------------- position 50 boundary (32+18=50) --
+    # ------------------------------- position 50 boundary (33+17=50) --
     "log_route_counts", "log_event_histogram", "log_counters_last",
-    "log_flush_pairs",
+    "log_flush_pairs", "log_flush_stats",
     # -- tier 3: dedup / ANN core (D-green r01-r03; immediately after
     #    the boundary, inside any cap that grows past 50)
     "dedup_exact_docs", "minhash_pairs", "simhash_docs",

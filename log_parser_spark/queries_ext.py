@@ -1232,6 +1232,98 @@ def ann_recall_clustered(spark, sf_dir):
                     .alias("recall_at_k")))
 
 
+# ---------------------------------------- near-dup cluster assignment (r5)
+
+def dedup_cluster_assignment(spark, sf_dir):
+    """Pairs -> CLUSTERS (ops/dedup.connected_components): the step
+    every near-dedup pipeline ends with — pick one representative per
+    connected component of the candidate-pair graph.  The corpus
+    plants overlapping-window CHAINS (docs with id % 10 in 0..3 get
+    text = window(k) + window(k+1) of their group), so adjacent pairs
+    share exactly one 20-token block: jaccard links 0-1-2-3 but not
+    0-2 directly, and the component is only recoverable by actual
+    label PROPAGATION, not by pairwise grouping.  Spark runs the
+    iterative min-label loop; the DuckDB oracle reproduces it with a
+    recursive CTE — an exact cross-engine check of an iterative graph
+    algorithm."""
+    from log_parser_spark.ops import dedup
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text"))
+    g = F.floor(F.col("doc_id") / 10).cast("long")
+    k = F.pmod("doc_id", F.lit(10))
+
+    def window_block(kk):
+        return F.array_join(F.transform(
+            F.sequence(F.lit(1), F.lit(20)),
+            lambda j: F.concat_ws(
+                "_", F.concat(F.lit("c"), g.cast("string")),
+                kk.cast("string"), j.cast("string"))), " ")
+
+    planted = docs.withColumn(
+        "text",
+        F.when(k <= 3,
+               F.concat(window_block(k), F.lit(" "),
+                        window_block(k + 1)))
+        .otherwise(F.col("text")))
+    a = planted.select(F.col("doc_id").alias("a"),
+                       F.col("text").alias("text_a"))
+    b = planted.select(F.col("doc_id").alias("b"),
+                       F.col("text").alias("text_b"))
+    pairs = a.join(b, F.col("b") == F.col("a") + 1)
+    edges = (dedup.ngram_jaccard(pairs, "text_a", "text_b")
+             .filter(F.col("jaccard") >= 0.2).select("a", "b"))
+    return dedup.connected_components(edges).select(
+        F.col("node").alias("doc_id"), "component", "cluster_size")
+
+
+DEDUP_CLUSTER_SQL = r"""
+WITH RECURSIVE planted AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 10 <= 3 THEN
+      array_to_string(list_transform(generate_series(1, 20),
+        j -> 'c' || (doc_id // 10) || '_' || (doc_id % 10) || '_' || j),
+        ' ')
+      || ' ' ||
+      array_to_string(list_transform(generate_series(1, 20),
+        j -> 'c' || (doc_id // 10) || '_' || (doc_id % 10 + 1) || '_' || j),
+        ' ')
+    ELSE text END AS text
+  FROM documents),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'),
+                     x -> x <> '') AS t
+  FROM planted),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - 2, 0)),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM toks),
+jac AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         CAST(round(CASE
+           WHEN len(list_distinct(list_concat(a.s, b.s))) > 0
+           THEN len(list_intersect(a.s, b.s))::DOUBLE
+                / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE
+           ELSE 0.0 END, 6) AS DOUBLE) AS jaccard
+  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1),
+edges AS (SELECT a, b FROM jac WHERE jaccard >= 0.2),
+bidir AS (SELECT a AS s, b AS d FROM edges
+          UNION SELECT b, a FROM edges),
+nodes AS (SELECT DISTINCT s AS node FROM bidir),
+walk(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT bd.d, w.lbl FROM walk w JOIN bidir bd ON bd.s = w.node),
+labels AS (SELECT node, min(lbl) AS component FROM walk GROUP BY node),
+sizes AS (SELECT component, count(*)::BIGINT AS cluster_size
+          FROM labels GROUP BY component)
+SELECT labels.node AS doc_id, labels.component, sizes.cluster_size
+FROM labels JOIN sizes USING (component)
+"""
+
+
 # ------------------------------------- temperature mixing weights (r5)
 
 _MIX_ALPHA = 0.3
@@ -1381,6 +1473,7 @@ QUERIES_EXT = {
     "curation_yield": curation_yield,
     "ngram_contamination": ngram_contamination,
     "temperature_mix_weights": temperature_mix_weights,
+    "dedup_cluster_assignment": dedup_cluster_assignment,
 }
 
 ORACLE_SQL_EXT = {
@@ -1412,6 +1505,7 @@ ORACLE_SQL_EXT = {
     "curation_yield": _curation_yield_sql(),
     "ngram_contamination": _contamination_sql(),
     "temperature_mix_weights": _temperature_mix_sql(),
+    "dedup_cluster_assignment": DEDUP_CLUSTER_SQL,
 }
 
 # -------------------------------------------- golden-parquet oracles

@@ -744,6 +744,21 @@ def test_temperature_mix_weights(spark):
                - round(50_000 * 0.75 / 90_000, 6)) < 1e-9
 
 
+def test_connected_components(spark):
+    """Min-label propagation over a mixed graph: a 4-chain, a pair,
+    and a triangle resolve to their min-id components with correct
+    sizes; convergence early-stops (chain diameter 3 < max_iters)."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        ["a", "b"])
+    out = {r["node"]: (r["component"], r["cluster_size"])
+           for r in dedup.connected_components(edges).collect()}
+    assert {out[n] for n in (1, 2, 3, 4)} == {(1, 4)}
+    assert {out[n] for n in (10, 11)} == {(10, 2)}
+    assert {out[n] for n in (20, 21, 22)} == {(20, 3)}
+    assert len(out) == 9
+
+
 def test_ngram_contamination(spark):
     """Decontamination semantics: a train doc sharing an 8-gram with
     the eval set is flagged with the exact collision count; clean docs

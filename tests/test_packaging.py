@@ -74,25 +74,27 @@ def test_driver_query_order_puts_critical_queries_first():
         "ann_recall_clustered", "gopher_quality",
         "gopher_repetition", "pii_scrub", "c4_clean",
         "stratified_sample_mix", "boilerplate_stats", "curation_yield",
-        "ngram_contamination", "temperature_mix_weights"}
+        "ngram_contamination", "temperature_mix_weights",
+        "dedup_cluster_assignment"}
     assert set(names[:len(least_proven)]) == least_proven
-    # the four log_* queries driver-green in ALL of r01-r04 (the
+    # the five log_* queries driver-green in ALL of r01-r04 (the
     # deepest history in the registry) are rotated out to positions
-    # 50-53 to make room for curation_yield and the three round-5
+    # 50-54 to make room for curation_yield and the four round-5
     # additions
     assert names[50] == "log_route_counts"
     assert names[51] == "log_event_histogram"
     assert names[52] == "log_counters_last"
     assert names[53] == "log_flush_pairs"
+    assert names[54] == "log_flush_stats"
     log_queries = {n for n in names if n.startswith("log_")}
     assert log_queries - {"log_route_counts", "log_event_histogram",
-                          "log_counters_last",
-                          "log_flush_pairs"} <= first50
+                          "log_counters_last", "log_flush_pairs",
+                          "log_flush_stats"} <= first50
     # the dedup/ANN core (D-green in CORRECTNESS r01-r04 already) sits
     # immediately after — inside any cap that grows past 50
     assert {"dedup_exact_docs", "minhash_pairs", "simhash_docs",
             "simhash_near_pairs", "embedding_cosine_dedup",
-            "embedding_ann_ivf"} <= set(names[:60])
+            "embedding_ann_ivf"} <= set(names[:61])
 
 
 def test_correctness_history_covers_registry():
