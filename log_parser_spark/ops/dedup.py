@@ -75,20 +75,35 @@ def ngram_contamination(docs: DataFrame, eval_docs: DataFrame,
 
     Returns one row per train doc: (key, n_shingles, n_contaminated,
     contamination_ratio, is_contaminated)."""
-    toks = docs.withColumn("_toks", tokens_col(text_col))
-    sh = toks.select(
-        key, F.array_distinct(shingles_from_tokens("_toks", k))
-        .alias("_sh"))
+    # key-repartition FIRST (same rationale as minhash_signatures):
+    # a small parquet input arrives single-partition and would run the
+    # whole shingle explode on one task (measured 47 s -> ~2 s at
+    # sf0.1), and the explicit count keeps AQE from re-coalescing this
+    # small-bytes/heavy-compute stage; the groupBy(key) after the
+    # explode then needs no shingle-level exchange at all
+    n_out = docs.sparkSession.sparkContext.defaultParallelism
+    toks = (docs.repartition(n_out, F.col(key))
+            .withColumn("_toks", tokens_col(text_col)))
     ev_toks = eval_docs.withColumn("_toks", tokens_col(text_col))
     ev = (ev_toks.select(F.explode(F.array_distinct(
         shingles_from_tokens("_toks", k))).alias("_g"))
         .select(F.md5("_g").alias("h")).distinct())
 
-    probe = sh.select(key, F.explode("_sh").alias("_g")) \
+    # explode the shingle array INLINE in the same select that builds
+    # it (the minhash formulation) — exploding a previously-projected
+    # array column re-evaluates the HOF construction per OUTPUT row
+    # (measured 47 s vs 0.8 s at sf0.1; the Generate-side sibling of
+    # the HOF-no-CSE rule in PLANS.md).  The shingle expression is
+    # therefore built twice (probe + size), each once per input row —
+    # far cheaper than once per shingle.
+    probe = toks.select(key, F.explode(F.array_distinct(
+        shingles_from_tokens("_toks", k))).alias("_g")) \
         .select(key, F.md5("_g").alias("h"))
     hits = (probe.join(F.broadcast(ev), "h", "left_semi")
             .groupBy(key).agg(F.count(F.lit(1)).alias("n_contaminated")))
-    base = sh.select(key, F.size("_sh").alias("n_shingles"))
+    base = toks.select(
+        key, F.size(F.array_distinct(shingles_from_tokens("_toks", k)))
+        .alias("n_shingles"))
     out = (base.join(hits, key, "left")
            .select(key, "n_shingles",
                    F.coalesce("n_contaminated", F.lit(0)).cast("long")

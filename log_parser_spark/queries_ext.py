@@ -1269,9 +1269,23 @@ def dedup_cluster_assignment(spark, sf_dir):
                        F.col("text").alias("text_a"))
     b = planted.select(F.col("doc_id").alias("b"),
                        F.col("text").alias("text_b"))
-    pairs = a.join(b, F.col("b") == F.col("a") + 1)
-    edges = (dedup.ngram_jaccard(pairs, "text_a", "text_b")
-             .filter(F.col("jaccard") >= 0.2).select("a", "b"))
+    # explicit repartition between the pair join and the jaccard HOFs:
+    # the joined texts are few MB, so AQE would coalesce the exchange
+    # to one task and serialize the shingle work (measured 49 s -> ~3 s
+    # at sf0.1 — the small-bytes/heavy-compute trap from PLANS.md)
+    n_out = spark.sparkContext.defaultParallelism
+    pairs = (a.join(b, F.col("b") == F.col("a") + 1)
+             .repartition(n_out, F.col("a")))
+    # checkpoint the scored pairs BEFORE filtering: predicate pushdown
+    # substitutes the filter through the staging projections, which
+    # re-inlines the jaccard HOF tree with every internal reference
+    # re-expanded (measured 49 s vs ~3 s at sf0.1 — the filter-side
+    # sibling of the HOF-no-CSE rule in PLANS.md).  The scored pair
+    # table is one row per candidate pair — tiny — and the iterative
+    # CC consumer re-reads it anyway.
+    jac = (dedup.ngram_jaccard(pairs, "text_a", "text_b")
+           .select("a", "b", "jaccard").localCheckpoint(eager=False))
+    edges = jac.filter(F.col("jaccard") >= 0.2).select("a", "b")
     return dedup.connected_components(edges).select(
         F.col("node").alias("doc_id"), "component", "cluster_size")
 
