@@ -51,6 +51,32 @@ def cpu_calibration(n: int = 6_000_000) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _calib_worker(n: int) -> int:
+    x = 1
+    for _ in range(n):
+        x = (x * 1103515245 + 12345) & 0xFFFFFFFF
+    return x
+
+
+def cpu_calibration_mc(procs: int = 24, n: int = 6_000_000) -> float:
+    """Multi-core sentinel: the same fixed workload on ``procs``
+    processes at once (wall time of the slowest).  Needed because this
+    host's throttle hits aggregate multi-core throughput much harder
+    than a single thread — a round-5 run measured every Spark query
+    ~3x slower while the single-thread sentinel read only 0.76-0.89 s
+    vs the 0.72 reference; the 24-way sentinel read 1.3-1.8 s in that
+    same state.  Both sentinels are LOWER BOUNDS on the throttle
+    factor (the hypervisor clamps progressively under sustained load,
+    and a 1-s burst does not fully engage it): an elevated reading
+    proves throttling; a clean reading plus uniformly-slower queries
+    still means machine state, not code."""
+    import multiprocessing as mp
+    t0 = time.perf_counter()
+    with mp.Pool(procs) as pool:
+        pool.map(_calib_worker, [n] * procs)
+    return round(time.perf_counter() - t0, 3)
+
+
 def ensure_corpus(spark, n_pages: int, path: str) -> str:
     marker = os.path.join(path, "_DONE")
     if os.path.exists(marker):
@@ -125,6 +151,7 @@ def main():
         "BENCH_CORPUS_DIR", f"/tmp/bench_corpus_n{n_pages}")
 
     calib_start = cpu_calibration()
+    calib_mc_start = cpu_calibration_mc()
 
     spark = get_spark(app_name="bench", cores=cpus, shuffle_partitions=cpus)
 
@@ -196,6 +223,8 @@ def main():
         # machine state, not code
         "calib_sec_start": calib_start,
         "calib_sec_end": cpu_calibration(),
+        "calib_mc_sec_start": calib_mc_start,
+        "calib_mc_sec_end": cpu_calibration_mc(),
     }
     print(json.dumps(result))
 

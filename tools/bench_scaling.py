@@ -160,6 +160,14 @@ time-slicing and deltas are machine state, not code.  Combined with
 best-of-3 legs on every query >~1.5 s single-shot, a regression now
 has to survive three legs AND a clean sentinel to be believed.
 
+A second 24-process sentinel (`calib_mc_sec_start/end`, same loop on
+24 workers, fresh ~0.8-1.0 s) catches multi-core-only throttling the
+single-thread probe misses (observed: all Spark queries ~3x slower
+while the 1-thread sentinel read just 0.76-0.89).  Both sentinels are
+LOWER BOUNDS on the throttle factor — the hypervisor clamps
+progressively under sustained load, so a clean sentinel with
+uniformly-slower queries still indicates machine state, not code.
+
 ## Dedup cap scale probe (round 5)
 
 `tools/bench_dedup_scaling.py` (BENCH/dedup_scaling.jsonl): the three
