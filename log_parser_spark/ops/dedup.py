@@ -55,7 +55,9 @@ def shingles_col(text_col: str = "text", k: int = 3):
 
 def ngram_contamination(docs: DataFrame, eval_docs: DataFrame,
                         key: str = "doc_id", text_col: str = "text",
-                        k: int = 8) -> DataFrame:
+                        k: int = 8, eval_join: str = "auto",
+                        max_broadcast_eval_docs: int = 200_000
+                        ) -> DataFrame:
     """Benchmark decontamination (the train/eval overlap check every
     pre-training pipeline runs before shipping data): per TRAIN
     document, how many of its distinct word ``k``-gram shingles also
@@ -73,8 +75,25 @@ def ngram_contamination(docs: DataFrame, eval_docs: DataFrame,
     fixed-width (and the DuckDB oracle reproduces the exact same keys;
     xxhash64 would differ between engines).
 
+    The broadcast assumption is CHECKED, not assumed: with the default
+    ``eval_join='auto'`` the eval-doc count is measured first, and an
+    eval side above ``max_broadcast_eval_docs`` falls back to a plain
+    (shuffle) semi-join — a silently-forced broadcast of a corpus-sized
+    "eval set" would OOM the driver at 100 TB.  Pass
+    ``eval_join='broadcast'`` or ``'shuffle'`` to skip the probe count
+    and pin the strategy (broadcast keeps the zero-shingle-shuffle plan
+    the test suite pins for benchmark-sized eval sets).
+
     Returns one row per train doc: (key, n_shingles, n_contaminated,
     contamination_ratio, is_contaminated)."""
+    if eval_join not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(
+            f"eval_join must be 'auto', 'broadcast' or 'shuffle', "
+            f"got {eval_join!r}")
+    if eval_join == "auto":
+        eval_join = ("broadcast"
+                     if eval_docs.count() <= max_broadcast_eval_docs
+                     else "shuffle")
     # key-repartition FIRST (same rationale as minhash_signatures):
     # a small parquet input arrives single-partition and would run the
     # whole shingle explode on one task (measured 47 s -> ~2 s at
@@ -99,7 +118,8 @@ def ngram_contamination(docs: DataFrame, eval_docs: DataFrame,
     probe = toks.select(key, F.explode(F.array_distinct(
         shingles_from_tokens("_toks", k))).alias("_g")) \
         .select(key, F.md5("_g").alias("h"))
-    hits = (probe.join(F.broadcast(ev), "h", "left_semi")
+    ev_side = F.broadcast(ev) if eval_join == "broadcast" else ev
+    hits = (probe.join(ev_side, "h", "left_semi")
             .groupBy(key).agg(F.count(F.lit(1)).alias("n_contaminated")))
     base = toks.select(
         key, F.size(F.array_distinct(shingles_from_tokens("_toks", k)))
@@ -117,7 +137,8 @@ def ngram_contamination(docs: DataFrame, eval_docs: DataFrame,
 
 
 def connected_components(edges: DataFrame, a: str = "a", b: str = "b",
-                         max_iters: int = 15) -> DataFrame:
+                         max_iters: int = 15,
+                         on_nonconverged: str = "raise") -> DataFrame:
     """Connected components over an undirected candidate-pair graph —
     the step that turns near-dup PAIRS into dedup CLUSTERS (pick one
     representative per component; the published near-dedup pipelines
@@ -134,10 +155,22 @@ def connected_components(edges: DataFrame, a: str = "a", b: str = "b",
     convergence takes ~component-diameter rounds, typically 2-4).
     Labels are localCheckpoint()ed every round so the plan stays flat
     instead of growing once per iteration (lineage blowup is the
-    classic iterative-Spark failure).  For adversarial long-path
-    graphs the round bound is ``max_iters`` — raise it, or swap in a
-    star-contraction variant, if components with diameter > max_iters
-    are expected; this op targets dedup graphs, where they are not."""
+    classic iterative-Spark failure).
+
+    Convergence is VERIFIED, not assumed: if the loop exhausts
+    ``max_iters`` while labels are still changing (a component's
+    diameter exceeds the round budget — adversarial long-path graphs),
+    the result would silently merge-split components, so the default
+    ``on_nonconverged='raise'`` raises RuntimeError naming the residual
+    change count; pass ``'warn'`` to instead get the partial labels
+    plus a warnings.warn, for exploratory use only.  Raise max_iters,
+    or swap in a star-contraction variant, if components with diameter
+    > max_iters are expected; dedup graphs converge in a handful of
+    rounds."""
+    if on_nonconverged not in ("raise", "warn"):
+        raise ValueError(
+            f"on_nonconverged must be 'raise' or 'warn', "
+            f"got {on_nonconverged!r}")
     ab = edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
     bidir = ab.unionByName(
         ab.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -146,6 +179,7 @@ def connected_components(edges: DataFrame, a: str = "a", b: str = "b",
               .withColumn("component", F.col("node"))
               .localCheckpoint(eager=True))
 
+    changed = 0
     for _ in range(max_iters):
         nbr = (bidir.join(labels, bidir["src"] == labels["node"])
                .select(F.col("dst").alias("node"), "component"))
@@ -158,6 +192,15 @@ def connected_components(edges: DataFrame, a: str = "a", b: str = "b",
         labels = new
         if changed == 0:
             break
+    if changed != 0:
+        msg = (f"connected_components did not converge within "
+               f"max_iters={max_iters}: {changed} labels still changing "
+               f"(a component's diameter exceeds the round budget; raise "
+               f"max_iters or use star contraction)")
+        if on_nonconverged == "raise":
+            raise RuntimeError(msg)
+        import warnings
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
 
     sizes = labels.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size"))

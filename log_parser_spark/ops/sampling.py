@@ -82,10 +82,17 @@ def temperature_mix_weights(df: DataFrame, strata_col: str,
     out = (agg.crossJoin(F.broadcast(tot))
            .withColumn("weight", F.round(F.col("_w") / F.col("_tw"), 6)))
     if token_budget is not None:
-        frac = F.least(
-            F.lit(1.0),
-            F.lit(float(token_budget)) * (F.col("_w") / F.col("_tw"))
-            / F.col("n_tokens").cast("double"))
+        # empty strata (n_tokens == 0, weight 0) must report fraction
+        # 0.0, not 1.0: the unguarded divide yields NULL and Spark's
+        # null-skipping least(1.0, NULL) = 1.0 — a misleading planner
+        # row for a stratum there is nothing to draw from
+        frac = F.when(
+            F.col("n_tokens") > 0,
+            F.least(
+                F.lit(1.0),
+                F.lit(float(token_budget)) * (F.col("_w") / F.col("_tw"))
+                / F.col("n_tokens").cast("double"))
+        ).otherwise(F.lit(0.0))
         out = out.withColumn("sample_fraction", F.round(frac, 6))
     return out.drop("_w", "_tw")
 

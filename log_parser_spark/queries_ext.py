@@ -1169,8 +1169,21 @@ def ann_recall_ivf(spark, sf_dir):
     k, n_centroids = 5, 16
     truth = similarity.brute_force_topk(emb, queries, k=k).select(
         "query_id", "neighbor_id")
+    return _recall_per_probe(emb, queries, truth, k, n_centroids)
+
+
+def _recall_per_probe(emb, queries, truth, k, n_centroids,
+                      probes=(1, 2, 4)):
+    """Shared recall-accounting tail for the two ann_recall_* queries:
+    run ivf_topk once per probe setting, intersect with the exact
+    top-k, and report one row PER PROBED SETTING — the per-probe hit
+    counts are left-joined onto the static probe list so a leg with
+    zero hits reports recall_at_k = 0.0 instead of silently dropping
+    its row (a consumer keyed on n_probe must see every probed leg;
+    same coalesce-to-zero contract as ngram_contamination)."""
+    from log_parser_spark.ops import similarity
     tagged = None
-    for n_probe in (1, 2, 4):
+    for n_probe in probes:
         a = (similarity.ivf_topk(emb, queries, k=k,
                                  n_centroids=n_centroids, n_probe=n_probe)
              .select("query_id", "neighbor_id")
@@ -1179,6 +1192,12 @@ def ann_recall_ivf(spark, sf_dir):
     hits = tagged.join(truth, ["query_id", "neighbor_id"], "left_semi")
     per = hits.groupBy("n_probe").agg(
         F.count(F.lit(1)).alias("n_hits"))
+    probe_rows = emb.sparkSession.range(1).select(F.explode(F.array(
+        *[F.lit(p) for p in probes])).alias("n_probe"))
+    per = (probe_rows.join(per, "n_probe", "left")
+           .select("n_probe",
+                   F.coalesce("n_hits", F.lit(0)).cast("long")
+                   .alias("n_hits")))
     tn = truth.agg(F.count(F.lit(1)).alias("n_truth"))
     return (per.crossJoin(F.broadcast(tn))
             .select(F.lit(n_centroids).alias("n_centroids"), "n_probe",
@@ -1214,22 +1233,7 @@ def ann_recall_clustered(spark, sf_dir):
     k, n_centroids = 5, 16
     truth = similarity.brute_force_topk(emb, queries, k=k).select(
         "query_id", "neighbor_id")
-    tagged = None
-    for n_probe in (1, 2, 4):
-        a = (similarity.ivf_topk(emb, queries, k=k,
-                                 n_centroids=n_centroids, n_probe=n_probe)
-             .select("query_id", "neighbor_id")
-             .withColumn("n_probe", F.lit(n_probe)))
-        tagged = a if tagged is None else tagged.unionByName(a)
-    hits = tagged.join(truth, ["query_id", "neighbor_id"], "left_semi")
-    per = hits.groupBy("n_probe").agg(
-        F.count(F.lit(1)).alias("n_hits"))
-    tn = truth.agg(F.count(F.lit(1)).alias("n_truth"))
-    return (per.crossJoin(F.broadcast(tn))
-            .select(F.lit(n_centroids).alias("n_centroids"), "n_probe",
-                    F.lit(k).alias("k"), "n_hits", "n_truth",
-                    F.round(F.col("n_hits") / F.col("n_truth"), 4)
-                    .alias("recall_at_k")))
+    return _recall_per_probe(emb, queries, truth, k, n_centroids)
 
 
 # ---------------------------------------- near-dup cluster assignment (r5)
@@ -1380,8 +1384,10 @@ a AS (
 t AS (SELECT sum(w) AS tw FROM a)
 SELECT source, n_docs, n_tokens,
        CAST(round(w / tw, 6) AS DOUBLE) AS weight,
-       CAST(round(least(1.0, {_MIX_TOKEN_BUDGET} * (w / tw)
-                             / n_tokens::DOUBLE), 6) AS DOUBLE)
+       CAST(round(CASE WHEN n_tokens > 0
+                       THEN least(1.0, {_MIX_TOKEN_BUDGET} * (w / tw)
+                                        / n_tokens::DOUBLE)
+                       ELSE 0.0 END, 6) AS DOUBLE)
          AS sample_fraction
 FROM a CROSS JOIN t
 """
@@ -1412,7 +1418,10 @@ def ngram_contamination(spark, sf_dir):
                F.concat("text", F.lit("\n" + _EVAL_SENTENCE)))
         .otherwise(F.col("text")))
     eval_docs = planted.filter(F.pmod("doc_id", F.lit(97)) == 0)
-    return dedup.ngram_contamination(planted, eval_docs, k=8)
+    # eval_join pinned: the planted eval set is benchmark-sized by
+    # construction, so skip the auto-mode probe count
+    return dedup.ngram_contamination(planted, eval_docs, k=8,
+                                     eval_join="broadcast")
 
 
 def _contamination_sql():

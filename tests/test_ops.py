@@ -808,3 +808,96 @@ def test_boilerplate_paragraphs(spark):
     # within-doc repetition is NOT inter-doc boilerplate
     assert out[4]["n_boiler_paras"] == 0
     assert out[4]["boiler_char_ratio"] == 0.0
+
+
+# ----------------------------------------------------- round-6 ADVICE fixes
+
+def test_connected_components_nonconvergence_raises(spark):
+    """A component whose diameter exceeds the round budget must FAIL
+    LOUDLY, not return partial labels: silently-unconverged output
+    merge-splits dedup clusters (round-5 ADVICE, medium)."""
+    # 6-chain: diameter 5, so max_iters=2 cannot converge
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], ["a", "b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(edges, max_iters=2)
+    # warn mode returns partial labels but emits RuntimeWarning
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        out = dedup.connected_components(
+            edges, max_iters=2, on_nonconverged="warn")
+        assert out.count() == 6
+    # enough rounds: the same graph converges silently to one component
+    ok = {r["component"] for r in
+          dedup.connected_components(edges, max_iters=10).collect()}
+    assert ok == {1}
+    with pytest.raises(ValueError):
+        dedup.connected_components(edges, on_nonconverged="explode")
+
+
+def test_temperature_mix_empty_stratum_fraction_zero(spark):
+    """A stratum with zero tokens must plan fraction 0.0 (nothing to
+    draw), not the misleading 1.0 that null-skipping least() produced
+    (round-5 ADVICE)."""
+    from log_parser_spark.ops import sampling
+    rows = ([(i, "full", 100) for i in range(100)]
+            + [(i + 1000, "empty", 0) for i in range(10)])
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tok"])
+    out = {r["source"]: r for r in sampling.temperature_mix_weights(
+        df, "source", "n_tok", alpha=0.5, token_budget=100).collect()}
+    assert out["empty"]["n_tokens"] == 0
+    assert out["empty"]["weight"] == 0.0
+    assert out["empty"]["sample_fraction"] == 0.0
+    assert out["full"]["sample_fraction"] == 0.01
+    # the DuckDB mirror shares the guard: 0-token stratum plans 0.0
+    import duckdb
+    con = duckdb.connect()
+    got = con.execute(
+        "SELECT CASE WHEN n > 0 THEN least(1.0, 100 * 0.5 / n) "
+        "ELSE 0.0 END FROM (SELECT 0.0 AS n)").fetchone()[0]
+    assert got == 0.0
+
+
+def test_ann_recall_reports_zero_hit_probe_legs(spark):
+    """Every PROBED n_probe setting must appear in the recall report —
+    a leg with zero hits reports recall_at_k = 0.0 instead of silently
+    dropping its row (round-5 ADVICE).  n_probe=0 probes no cells, so
+    its leg is guaranteed empty."""
+    from log_parser_spark.queries_ext import _recall_per_probe
+    emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+           .select("vec_id", "embedding"))
+    queries = emb.filter(F.col("vec_id") < 4)
+    truth = similarity.brute_force_topk(emb, queries, k=3).select(
+        "query_id", "neighbor_id")
+    rows = {r["n_probe"]: r for r in _recall_per_probe(
+        emb, queries, truth, k=3, n_centroids=8,
+        probes=(0, 2)).collect()}
+    assert set(rows) == {0, 2}
+    assert rows[0]["n_hits"] == 0
+    assert rows[0]["recall_at_k"] == 0.0
+    assert rows[2]["n_hits"] > 0
+
+
+def test_ngram_contamination_eval_join_guard(spark):
+    """The eval-side broadcast is size-guarded: auto mode falls back to
+    a shuffle semi-join above max_broadcast_eval_docs (a corpus-sized
+    eval set must never be force-broadcast), and both strategies return
+    identical results."""
+    marker = "alpha beta gamma delta epsilon zeta eta theta iota"
+    rows = [(1, f"some training text right here {marker}"),
+            (2, "completely unrelated words that never collide with "
+                "anything else at all today"),
+            (100, marker)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    ev = df.filter(F.col("doc_id") >= 100)
+    want = sorted(map(tuple, dedup.ngram_contamination(
+        df, ev, k=8, eval_join="broadcast").collect()))
+    # auto + tiny threshold -> shuffle path; results identical
+    got = sorted(map(tuple, dedup.ngram_contamination(
+        df, ev, k=8, eval_join="auto",
+        max_broadcast_eval_docs=0).collect()))
+    assert got == want
+    got2 = sorted(map(tuple, dedup.ngram_contamination(
+        df, ev, k=8, eval_join="shuffle").collect()))
+    assert got2 == want
+    with pytest.raises(ValueError):
+        dedup.ngram_contamination(df, ev, eval_join="maybe")
