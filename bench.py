@@ -183,7 +183,7 @@ def main():
         "gopher_quality", "gopher_repetition", "pii_scrub", "c4_clean",
         "stratified_sample_mix",
         "ngram_contamination", "temperature_mix_weights",
-        "dedup_cluster_assignment",
+        "dedup_cluster_assignment", "dedup_pipeline_clusters",
     ]
     # best-of-N for every query whose single-shot time exceeds ~1.5 s:
     # in this sandbox's ±40% hypervisor noise band a single leg is
@@ -194,7 +194,8 @@ def main():
     best_of = {"log_parsed_json_report": 3, "embedding_ann_ivf": 3,
                "minhash_pairs": 3, "simhash_docs": 3, "doc_quality": 3,
                "gopher_repetition": 3, "log_growth_total": 3,
-               "ngram_contamination": 3, "dedup_cluster_assignment": 3}
+               "ngram_contamination": 3, "dedup_cluster_assignment": 3,
+               "dedup_pipeline_clusters": 3}
     for name in bench_queries:
         legs = []
         for _ in range(best_of.get(name, 1)):

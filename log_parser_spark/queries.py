@@ -1720,50 +1720,55 @@ ORACLE_SQL.update(ORACLE_SQL_EXT)
 # tests/test_packaging.py pins this contract.
 
 _DRIVER_ORDER = [
-    # -- tier 1: never driver-checked (round-3 ext + round-4 additions)
-    "log_cf_lifetime", "log_mem_reports", "log_cf_stalls",
+    # ROUND-6 ROTATION (round-5 VERDICT item 1): the 33 names below
+    # spent round 5 outside the driver window, so their only
+    # verification on current code is judge selfcheck; they rotate IN
+    # so CORRECTNESS_r06 re-establishes driver evidence.  Ordered with
+    # the queries touched by the round-5 shared-code fixes
+    # (tokenization / sampling / fingerprints / cleaning) first.
+    # -- tier 1a: shared-fix-affected text & dedup surface
+    "dedup_exact_docs", "minhash_pairs", "simhash_docs",
+    "simhash_near_pairs", "doc_quality", "lang_id_counts",
+    "token_stats_by_lang", "bpe_token_stats", "doc_fingerprints",
+    "ngram_jaccard_adjacent", "corpus_cleaning",
+    # -- tier 1b: embedding / multimodal surface
+    "embedding_cosine_dedup", "embedding_ann_ivf", "embedding_topk",
+    "embedding_topk_arrow", "embedding_label_centroids",
+    "binary_meta", "media_frame_stats",
+    # -- tier 1c: log_* names rotated out in r5 (deepest history, but
+    #    their parser/agg layer was untouched-verified only by selfcheck)
+    "log_route_counts", "log_event_histogram", "log_counters_last",
+    "log_flush_pairs", "log_flush_stats",
+    # -- tier 1d: TPC-H / events relational tier
+    "q1_pricing_summary", "q3_top_orders", "q5_nation_volume",
+    "events_route_counts", "events_interval_stats", "events_first_last",
+    "events_hour_pivot", "events_asof_signup", "orders_running_sum",
+    "priority_status_diff",
+    # -- tier 2: NEW in round 6 (never driver-checked)
+    "dedup_pipeline_clusters",
+    # -- tier 3: single-driver-check names (first enumerated in r05)
+    "curation_yield", "ngram_contamination", "temperature_mix_weights",
+    "dedup_cluster_assignment", "ann_recall_clustered",
+    # -- tier 4: two-check names (r04+r05) filling the window to 50
+    "gopher_quality", "gopher_repetition", "pii_scrub", "c4_clean",
+    "stratified_sample_mix", "boilerplate_stats",
+    "cosine_drop_accounting", "ann_recall_ivf", "url_canonical_sorted",
     "lsh_drop_accounting", "url_canonical_dedup",
+    # ------------------------------ position 50 boundary (33+1+5+11) --
+    # -- tier 5: SURVEY §2 log_* surface — every name below is driver-
+    #    green in BOTH r04 and r05 on a code path unchanged in round 6
+    "log_cf_lifetime", "log_mem_reports", "log_cf_stalls",
     "log_histograms_last", "log_counters_grid", "log_histograms_grid",
     "log_user_opers", "log_delete_opers", "log_table_creation_stats",
     "log_largest_compaction", "log_files", "log_live_files",
     "log_running_live_size", "log_read_density", "log_cumulative_writes",
-    "log_job_cf", "log_quarantine_stats",
-    "url_canonical_sorted", "cosine_drop_accounting", "ann_recall_ivf",
-    "ann_recall_clustered",
-    "gopher_quality", "gopher_repetition", "pii_scrub", "c4_clean",
-    "stratified_sample_mix", "boilerplate_stats",
-    # rotated INTO the window for round 5: curation_yield (the one
-    # query the driver had never enumerated — round-4 VERDICT top
-    # item) plus the three new round-5 queries; to make room, the four
-    # log_* queries with the deepest driver history (log_route_counts /
-    # log_event_histogram / log_counters_last / log_flush_pairs, green
-    # in ALL of r01-r04) moved to positions 51-54
-    "curation_yield", "ngram_contamination", "temperature_mix_weights",
-    "dedup_cluster_assignment",
-    # -- tier 2: SURVEY §2 log_* surface (D-green r01-r04)
-    "log_compression_stats",
+    "log_job_cf", "log_quarantine_stats", "log_compression_stats",
     "log_read_latency_per_cf", "log_db_size", "log_warnings_enriched",
     "log_options_diff", "log_options_vs_baseline",
     "log_options_common_unique", "log_parsed_summaries",
     "log_parsed_json_report", "log_compactions", "log_stall_totals",
     "log_blob_stats", "log_domain_rollup", "log_seek_stats",
     "log_filter_effectiveness", "log_growth_total", "log_block_cache",
-    # ------------------------------- position 50 boundary (33+17=50) --
-    "log_route_counts", "log_event_histogram", "log_counters_last",
-    "log_flush_pairs", "log_flush_stats",
-    # -- tier 3: dedup / ANN core (D-green r01-r03; immediately after
-    #    the boundary, inside any cap that grows past 50)
-    "dedup_exact_docs", "minhash_pairs", "simhash_docs",
-    "simhash_near_pairs", "embedding_cosine_dedup", "embedding_ann_ivf",
-    # -- tier 4: longest-proven text/multimodal/relational queries
-    "doc_fingerprints", "ngram_jaccard_adjacent", "doc_quality",
-    "lang_id_counts", "token_stats_by_lang", "bpe_token_stats",
-    "binary_meta", "media_frame_stats", "corpus_cleaning",
-    "embedding_topk", "embedding_topk_arrow", "embedding_label_centroids",
-    "q1_pricing_summary", "q3_top_orders", "q5_nation_volume",
-    "events_route_counts", "events_interval_stats", "events_first_last",
-    "events_hour_pivot", "events_asof_signup", "orders_running_sum",
-    "priority_status_diff",
 ]
 
 assert set(_DRIVER_ORDER) == set(QUERIES), (

@@ -1342,6 +1342,116 @@ FROM labels JOIN sizes USING (component)
 """
 
 
+# ------------------- end-to-end near-dedup pipeline clusters (round 6)
+
+def dedup_pipeline_clusters(spark, sf_dir):
+    """The PRODUCTION near-dedup composition end to end — candidate
+    generation (ops/dedup.minhash_lsh_pairs), exact n-gram jaccard
+    verification, connected_components — on the corpus itself, not on
+    planted adjacent pairs (dedup_cluster_assignment's scope).  The
+    published pipeline shape: LSH proposes, exact jaccard disposes, CC
+    labels.
+
+    Planting: docs with id % 25 <= 4 become SLIDING WINDOWS over their
+    group's synthetic token stream (window 60 tokens, stride 12), so
+    adjacent chain members share 48 tokens — exact 3-gram jaccard
+    46/70 ~ 0.657 — while members two apart sit at 34/82 ~ 0.415: a
+    0.5 threshold links exactly the adjacent pairs and the component
+    is a 5-chain recoverable only by label propagation.
+
+    Cross-engine contract: the DuckDB oracle computes the SAME edge
+    set relationally (shingle inverted-index candidates -> exact
+    jaccard >= 0.5) and walks it with a recursive CTE.  The Spark side
+    gates candidates through LSH at 16 bands x 1 row, where the miss
+    probability of a true j >= 0.5 pair is (1-j)^16 <= 1.5e-5 — and
+    the xxhash64 minhashes are deterministic, so the match is stable,
+    not sampled; exact-duplicate texts bypass LSH entirely via the
+    star-pair path (a star and the oracle's clique label identical
+    components).  Plan hygiene per PLANS.md: key-repartition before
+    the jaccard HOFs, localCheckpoint barrier before the threshold
+    filter."""
+    from log_parser_spark.ops import dedup
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text"))
+    g = F.floor(F.col("doc_id") / 25).cast("long")
+    k = F.pmod("doc_id", F.lit(25))
+    start = k.cast("long") * 12
+    win = F.array_join(F.transform(
+        F.sequence(start + 1, start + 60),
+        lambda j: F.concat(F.lit("g"), g.cast("string"),
+                           F.lit("_t"), j.cast("string"))), " ")
+    planted = docs.withColumn(
+        "text", F.when(k <= 4, win).otherwise(F.col("text")))
+
+    cand = (dedup.minhash_lsh_pairs(planted, num_perm=16, bands=16)
+            .select("a", "b"))
+    ta = planted.select(F.col("doc_id").alias("a"),
+                        F.col("text").alias("text_a"))
+    tb = planted.select(F.col("doc_id").alias("b"),
+                        F.col("text").alias("text_b"))
+    n_out = spark.sparkContext.defaultParallelism
+    joined = (cand.join(ta, "a").join(tb, "b")
+              .repartition(n_out, F.col("a")))
+    jac = (dedup.ngram_jaccard(joined, "text_a", "text_b")
+           .select("a", "b", "jaccard").localCheckpoint(eager=False))
+    edges = jac.filter(F.col("jaccard") >= 0.5).select("a", "b")
+    return dedup.connected_components(edges, max_iters=20).select(
+        F.col("node").alias("doc_id"), "component", "cluster_size")
+
+
+DEDUP_PIPELINE_SQL = r"""
+WITH RECURSIVE planted AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 25 <= 4 THEN
+      array_to_string(list_transform(
+        generate_series((doc_id % 25) * 12 + 1, (doc_id % 25) * 12 + 60),
+        j -> 'g' || (doc_id // 25) || '_t' || j), ' ')
+    ELSE text END AS text
+  FROM documents),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'),
+                     x -> x <> '') AS t
+  FROM planted),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - 2, 0)),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM toks),
+ex AS (SELECT doc_id, unnest(s) AS gsh FROM sh),
+-- per-doc shingle lists are DISTINCT, so the shared-shingle count c
+-- from the inverted-index join is exactly |sa ∩ sb| and jaccard is
+-- c / (|sa| + |sb| - c): no per-pair list materialization (the
+-- list_intersect formulation was ~100x slower at sf0.1)
+cand AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+         FROM ex x JOIN ex y ON x.gsh = y.gsh AND x.doc_id < y.doc_id
+         GROUP BY 1, 2),
+sz AS (SELECT doc_id, len(s) AS ns FROM sh),
+jac AS (
+  SELECT cand.a, cand.b,
+         CAST(round(cand.c::DOUBLE
+                    / (sa.ns + sb.ns - cand.c)::DOUBLE, 6) AS DOUBLE)
+           AS jaccard
+  FROM cand
+  JOIN sz sa ON sa.doc_id = cand.a
+  JOIN sz sb ON sb.doc_id = cand.b),
+edges AS (SELECT a, b FROM jac WHERE jaccard >= 0.5),
+bidir AS (SELECT a AS s, b AS d FROM edges
+          UNION SELECT b, a FROM edges),
+nodes AS (SELECT DISTINCT s AS node FROM bidir),
+walk(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT bd.d, w.lbl FROM walk w JOIN bidir bd ON bd.s = w.node),
+labels AS (SELECT node, min(lbl) AS component FROM walk GROUP BY node),
+sizes AS (SELECT component, count(*)::BIGINT AS cluster_size
+          FROM labels GROUP BY component)
+SELECT labels.node AS doc_id, labels.component, sizes.cluster_size
+FROM labels JOIN sizes USING (component)
+"""
+
+
 # ------------------------------------- temperature mixing weights (r5)
 
 _MIX_ALPHA = 0.3
@@ -1497,6 +1607,7 @@ QUERIES_EXT = {
     "ngram_contamination": ngram_contamination,
     "temperature_mix_weights": temperature_mix_weights,
     "dedup_cluster_assignment": dedup_cluster_assignment,
+    "dedup_pipeline_clusters": dedup_pipeline_clusters,
 }
 
 ORACLE_SQL_EXT = {
@@ -1529,6 +1640,7 @@ ORACLE_SQL_EXT = {
     "ngram_contamination": _contamination_sql(),
     "temperature_mix_weights": _temperature_mix_sql(),
     "dedup_cluster_assignment": DEDUP_CLUSTER_SQL,
+    "dedup_pipeline_clusters": DEDUP_PIPELINE_SQL,
 }
 
 # -------------------------------------------- golden-parquet oracles

@@ -59,42 +59,35 @@ def test_driver_query_order_puts_critical_queries_first():
     # every registered query has an oracle (zero no_oracle rows)
     assert set(oracles) == set(names)
 
-    # the round-3/4 additions (first driver-checked only in r04) stay
-    # at the front, and curation_yield — the one query the driver had
-    # never enumerated through r04 — is rotated INTO the window
-    least_proven = {
-        "log_histograms_last", "log_counters_grid", "log_histograms_grid",
-        "log_user_opers", "log_delete_opers", "log_table_creation_stats",
-        "log_largest_compaction", "log_files", "log_live_files",
-        "log_running_live_size", "log_read_density", "log_mem_reports",
-        "log_cumulative_writes", "log_cf_stalls", "log_cf_lifetime",
-        "log_job_cf", "log_quarantine_stats", "url_canonical_dedup",
-        "lsh_drop_accounting", "url_canonical_sorted",
-        "cosine_drop_accounting", "ann_recall_ivf",
-        "ann_recall_clustered", "gopher_quality",
-        "gopher_repetition", "pii_scrub", "c4_clean",
-        "stratified_sample_mix", "boilerplate_stats", "curation_yield",
-        "ngram_contamination", "temperature_mix_weights",
-        "dedup_cluster_assignment"}
-    assert set(names[:len(least_proven)]) == least_proven
-    # the five log_* queries driver-green in ALL of r01-r04 (the
-    # deepest history in the registry) are rotated out to positions
-    # 50-54 to make room for curation_yield and the four round-5
-    # additions
-    assert names[50] == "log_route_counts"
-    assert names[51] == "log_event_histogram"
-    assert names[52] == "log_counters_last"
-    assert names[53] == "log_flush_pairs"
-    assert names[54] == "log_flush_stats"
-    log_queries = {n for n in names if n.startswith("log_")}
-    assert log_queries - {"log_route_counts", "log_event_histogram",
-                          "log_counters_last", "log_flush_pairs",
-                          "log_flush_stats"} <= first50
-    # the dedup/ANN core (D-green in CORRECTNESS r01-r04 already) sits
-    # immediately after — inside any cap that grows past 50
-    assert {"dedup_exact_docs", "minhash_pairs", "simhash_docs",
-            "simhash_near_pairs", "embedding_cosine_dedup",
-            "embedding_ann_ivf"} <= set(names[:61])
+    # ROUND-6 ROTATION: the 33 names that spent round 5 outside the
+    # window (selfcheck-only evidence on r5 code) are rotated IN, the
+    # new dedup_pipeline_clusters plus every <=1-driver-check name
+    # stays in, and the window is filled to exactly 50 with the
+    # two-check (r04+r05) curation names — so CORRECTNESS_r06 covers
+    # every query whose code path moved since its last driver check.
+    rotated_in = {
+        "dedup_exact_docs", "minhash_pairs", "simhash_docs",
+        "simhash_near_pairs", "doc_quality", "lang_id_counts",
+        "token_stats_by_lang", "bpe_token_stats", "doc_fingerprints",
+        "ngram_jaccard_adjacent", "corpus_cleaning",
+        "embedding_cosine_dedup", "embedding_ann_ivf", "embedding_topk",
+        "embedding_topk_arrow", "embedding_label_centroids",
+        "binary_meta", "media_frame_stats",
+        "log_route_counts", "log_event_histogram", "log_counters_last",
+        "log_flush_pairs", "log_flush_stats",
+        "q1_pricing_summary", "q3_top_orders", "q5_nation_volume",
+        "events_route_counts", "events_interval_stats",
+        "events_first_last", "events_hour_pivot", "events_asof_signup",
+        "orders_running_sum", "priority_status_diff"}
+    assert set(names[:33]) == rotated_in
+    assert names[33] == "dedup_pipeline_clusters"  # new in r6
+    single_check = {"curation_yield", "ngram_contamination",
+                    "temperature_mix_weights", "dedup_cluster_assignment",
+                    "ann_recall_clustered"}
+    assert single_check <= first50
+    # everything OUTSIDE the window has driver evidence in both r04
+    # and r05 on a code path round 6 did not touch (log_* surface)
+    assert all(n.startswith("log_") for n in names[50:])
 
 
 def test_correctness_history_covers_registry():
