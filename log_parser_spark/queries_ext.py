@@ -1269,6 +1269,16 @@ def dedup_cluster_assignment(spark, sf_dir):
                F.concat(window_block(k), F.lit(" "),
                         window_block(k + 1)))
         .otherwise(F.col("text")))
+    edges = _cluster_assignment_edges(spark, planted)
+    return dedup.connected_components(edges).select(
+        F.col("node").alias("doc_id"), "component", "cluster_size")
+
+
+def _cluster_assignment_edges(spark, planted):
+    """Edge construction for dedup_cluster_assignment, exposed so
+    tests/test_plans.py can pin its plan SHAPE (the checkpoint barrier
+    below is a measured 15-30x cliff if refactored away)."""
+    from log_parser_spark.ops import dedup
     a = planted.select(F.col("doc_id").alias("a"),
                        F.col("text").alias("text_a"))
     b = planted.select(F.col("doc_id").alias("b"),
@@ -1289,9 +1299,7 @@ def dedup_cluster_assignment(spark, sf_dir):
     # CC consumer re-reads it anyway.
     jac = (dedup.ngram_jaccard(pairs, "text_a", "text_b")
            .select("a", "b", "jaccard").localCheckpoint(eager=False))
-    edges = jac.filter(F.col("jaccard") >= 0.2).select("a", "b")
-    return dedup.connected_components(edges).select(
-        F.col("node").alias("doc_id"), "component", "cluster_size")
+    return jac.filter(F.col("jaccard") >= 0.2).select("a", "b")
 
 
 DEDUP_CLUSTER_SQL = r"""
@@ -1383,6 +1391,16 @@ def dedup_pipeline_clusters(spark, sf_dir):
     planted = docs.withColumn(
         "text", F.when(k <= 4, win).otherwise(F.col("text")))
 
+    edges = _pipeline_cluster_edges(spark, planted)
+    return dedup.connected_components(edges, max_iters=20).select(
+        F.col("node").alias("doc_id"), "component", "cluster_size")
+
+
+def _pipeline_cluster_edges(spark, planted):
+    """Edge construction for dedup_pipeline_clusters (LSH candidates ->
+    exact-jaccard verify), exposed so tests/test_plans.py can pin the
+    checkpoint-barrier plan shape (PLANS.md round-5 rule)."""
+    from log_parser_spark.ops import dedup
     cand = (dedup.minhash_lsh_pairs(planted, num_perm=16, bands=16)
             .select("a", "b"))
     ta = planted.select(F.col("doc_id").alias("a"),
@@ -1394,9 +1412,7 @@ def dedup_pipeline_clusters(spark, sf_dir):
               .repartition(n_out, F.col("a")))
     jac = (dedup.ngram_jaccard(joined, "text_a", "text_b")
            .select("a", "b", "jaccard").localCheckpoint(eager=False))
-    edges = jac.filter(F.col("jaccard") >= 0.5).select("a", "b")
-    return dedup.connected_components(edges, max_iters=20).select(
-        F.col("node").alias("doc_id"), "component", "cluster_size")
+    return jac.filter(F.col("jaccard") >= 0.5).select("a", "b")
 
 
 DEDUP_PIPELINE_SQL = r"""

@@ -242,3 +242,50 @@ def test_production_records_bucketed_join_without_exchange(
         spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition",
                        prev_k)
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_contamination_explode_is_inline(spark):
+    """PLANS.md round-5 rule, Generate side: explode() of a
+    previously-projected HOF-built array re-evaluates the array
+    construction per OUTPUT row (measured 47 s vs 0.8 s at sf0.1).
+    Guard: every Generate in the contamination plan must carry the
+    array-CONSTRUCTING expression inline — a bare column reference as
+    the generator means the staging-projection shape snuck back in."""
+    import re
+
+    from log_parser_spark.queries_ext import ngram_contamination
+    df = ngram_contamination(spark, "/root/testdata/sf0.001")
+    p = plan(df)
+    bare = re.findall(r"Generate explode\(\w+#\d+[L]?\)", p)
+    assert not bare, (
+        f"explode of a pre-projected array column re-entered the plan "
+        f"(re-evaluates the HOF construction per output row): {bare}")
+    # the generators that ARE there carry the construction inline
+    assert "Generate explode(" in p
+    assert p.count("Generate explode(CASE WHEN") >= 1
+
+
+def test_cluster_edges_filter_sits_on_checkpoint_barrier(spark):
+    """PLANS.md round-5 rule, filter side: filtering a
+    staged-expression column pushes the predicate through the staging
+    projections and re-inlines the whole jaccard HOF tree (measured
+    49 s vs ~3 s at sf0.1).  Guard: in BOTH cluster queries' edge
+    stages the threshold filter must sit directly above the
+    localCheckpoint barrier (an ExistingRDD scan), with ZERO
+    higher-order-function expressions above it."""
+    from log_parser_spark.queries_ext import (_cluster_assignment_edges,
+                                              _pipeline_cluster_edges)
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text").limit(50))
+    for builder in (_cluster_assignment_edges, _pipeline_cluster_edges):
+        p = plan(builder(spark, docs))
+        assert "ExistingRDD" in p, (
+            f"{builder.__name__}: checkpoint barrier missing — the "
+            f"jaccard plan is exposed to predicate pushdown")
+        assert "Filter" in p
+        # nothing above the barrier recomputes shingles: the HOF tree
+        # must be entirely BEHIND the checkpoint
+        for marker in ("transform(", "array_intersect", "xxhash64"):
+            assert marker not in p, (
+                f"{builder.__name__}: {marker} re-inlined above the "
+                f"checkpoint barrier")
