@@ -110,6 +110,39 @@ def records_table_name(out_dir: str, bucket: int) -> str:
     return f"recs_{h}_b{bucket}"
 
 
+def register_records_table(spark: SparkSession, out_dir: str,
+                           bucket: int) -> str:
+    """Re-register a bucketed records table in THIS session's
+    metastore from the on-disk layout — the fresh-session recovery
+    path.  ``saveAsTable`` registrations live in the writing session's
+    metastore only, so a resume or a downstream consumer running in a
+    NEW session (different warehouse/derby) cannot ``spark.table()``
+    the records until this runs.  The bucket spec is read from the
+    ``_bucket_spec.json`` marker written next to the parquet files
+    (underscore-prefixed, so readers ignore it), and the re-created
+    external table keeps full bucket semantics: Spark derives each
+    file's bucket id from its ``_000NN`` filename suffix, so the
+    Exchange-free join/window plans survive re-registration (pinned by
+    tests/test_pipeline.py::test_bucketed_records_fresh_session).
+    Idempotent: an already-registered table is returned as-is."""
+    table = records_table_name(out_dir, bucket)
+    if spark.catalog.tableExists(table):
+        return table
+    rec_path = os.path.join(out_dir, "records", f"bucket={bucket}")
+    with open(os.path.join(rec_path, "_bucket_spec.json")) as f:
+        spec = json.load(f)
+    schema = spark.read.parquet(rec_path).schema
+    cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                     for f in schema.fields)
+    spark.sql(
+        f"CREATE TABLE {table} ({cols}) USING parquet "
+        f"CLUSTERED BY ({spec['bucket_col']}) "
+        f"SORTED BY ({spec['bucket_col']}) "
+        f"INTO {spec['n_file_buckets']} BUCKETS "
+        f"LOCATION '{rec_path}'")
+    return table
+
+
 def run_pipeline(spark: SparkSession, out_dir: str,
                  pages: DataFrame | None = None,
                  pages_path: str | None = None,
@@ -155,6 +188,14 @@ def run_pipeline(spark: SparkSession, out_dir: str,
     pending = [b for b in range(n_buckets) if b not in done
                and (only_buckets is None or b in only_buckets)]
 
+    # resume in a FRESH session: already-done buckets are skipped
+    # below, but their bucketed-table registrations lived in the
+    # ORIGINAL session's metastore — rebuild them here so consumers
+    # can spark.table() every bucket after any resume
+    if bucket_records:
+        for b in done:
+            register_records_table(spark, out_dir, b)
+
     metrics = {"epoch": epoch, "buckets": [], "rows_out": {}}
 
     for bucket in pending:
@@ -185,9 +226,16 @@ def run_pipeline(spark: SparkSession, out_dir: str,
         rec_path = os.path.join(out_dir, "records", f"bucket={bucket}")
         if bucket_records:
             table = records_table_name(out_dir, bucket)
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
             (records_src.write.mode("overwrite")
              .bucketBy(bucket_records, "url").sortBy("url")
              .option("path", rec_path).saveAsTable(table))
+            # bucket-spec marker: lets register_records_table rebuild
+            # the metastore entry in a FRESH session (resume/consumer)
+            with open(os.path.join(rec_path, "_bucket_spec.json"),
+                      "w") as f:
+                json.dump({"n_file_buckets": bucket_records,
+                           "bucket_col": "url", "sort_col": "url"}, f)
             records = spark.table(table)
         else:
             records_src.write.mode("overwrite").parquet(rec_path)
