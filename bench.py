@@ -89,9 +89,17 @@ def ensure_corpus(spark, n_pages: int, path: str) -> str:
     return path
 
 
-def bench_log_pipeline(spark, corpus_path: str, out_dir: str) -> dict:
+def bench_log_pipeline(spark, corpus_path: str, out_dir: str,
+                       bucket_records: int | None = None) -> dict:
     """Full parse -> records table -> route -> aggregate incl. sink
-    writes (the run_pipeline architecture, single bucket)."""
+    writes (the run_pipeline architecture, single bucket).
+
+    bucket_records: time the co-located layout instead — records
+    written bucketBy(N, url).sortBy(url) and the sinks consuming the
+    bucketed table (the zero-Exchange plan pinned by
+    test_production_records_bucketed_join_without_exchange), so the
+    layout's write-cost-vs-shuffle-savings tradeoff is a measured
+    number, not a plan-test claim."""
     from log_parser_spark.engine import branches
     from log_parser_spark.engine.pipeline import run_pipeline
 
@@ -122,7 +130,7 @@ def bench_log_pipeline(spark, corpus_path: str, out_dir: str) -> dict:
     t0 = time.time()
     metrics = run_pipeline(
         spark, out_dir, pages_path=corpus_path, n_buckets=n_buckets,
-        only_buckets=only,
+        only_buckets=only, bucket_records=bucket_records,
         sink_names=["counters_csv", "histograms_csv", "compaction_stats",
                     "flush_events", "files"])
     # aggregate layer: event histogram (A10) off the records table
@@ -172,6 +180,33 @@ def main():
     pipe = min(legs, key=lambda m: m["wall_sec"])
     timings["log_pipeline"] = round(pipe["wall_sec"], 3)
     timings["log_pipeline_legs"] = [round(m["wall_sec"], 3) for m in legs]
+
+    # bucketed-layout leg (round-5 VERDICT item 3): same workload with
+    # records written bucketBy(8, url) and the sinks consuming the
+    # bucketed table — puts a wall-clock number next to the
+    # zero-Exchange plan evidence.  Skipped in BENCH_ONLY_PIPELINE
+    # (scaling) mode so the two-parallelism-level legs stay comparable
+    # across rounds.
+    if not os.environ.get("BENCH_ONLY_PIPELINE"):
+        prev_k = spark.conf.get(
+            "spark.sql.requireAllClusterKeysForCoPartition")
+        spark.conf.set(
+            "spark.sql.requireAllClusterKeysForCoPartition", "false")
+        try:
+            blegs = [bench_log_pipeline(spark, corpus_dir,
+                                        out_dir + "_bucketed",
+                                        bucket_records=8)]
+            if not os.environ.get("BENCH_SINGLE_LEG"):
+                blegs.append(bench_log_pipeline(spark, corpus_dir,
+                                                out_dir + "_bucketed",
+                                                bucket_records=8))
+        finally:
+            spark.conf.set(
+                "spark.sql.requireAllClusterKeysForCoPartition", prev_k)
+        timings["log_pipeline_bucketed"] = round(
+            min(m["wall_sec"] for m in blegs), 3)
+        timings["log_pipeline_bucketed_legs"] = [
+            round(m["wall_sec"], 3) for m in blegs]
 
     bench_queries = [] if os.environ.get("BENCH_ONLY_PIPELINE") else [
         "q1_pricing_summary", "q3_top_orders", "q5_nation_volume",
