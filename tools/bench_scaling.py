@@ -147,7 +147,19 @@ best-of-2 legs):
 `BENCH_ONLY_PIPELINE=1 python bench.py` equivalents.  Pinned-leg peaks
 above it (and the plain-multiprocessing 3789 docs/sec control) show
 the headroom the same code reaches when the host isn't time-slicing.
-
+""")
+            if h.get("wall_sec_bucketed"):
+                f.write(f"""
+Bucketed-records layout leg (round 6): the same pipeline with records
+written bucketBy(8, url).sortBy(url) and the sinks consuming the
+bucketed table (the zero-Exchange plans pinned in test_plans.py)
+measured **{h['wall_sec_bucketed']} s** vs {h['wall_sec']} s default
+under identical conditions.  At 100 TB the write-once sort is repaid
+again by every additional consumer of the records table; the per-round
+driver artifact carries both numbers as log_pipeline /
+log_pipeline_bucketed.
+""")
+            f.write("""
 ## Machine-state calibration sentinel (round 5)
 
 `bench.py` times a FIXED single-thread pure-Python workload
@@ -168,16 +180,55 @@ LOWER BOUNDS on the throttle factor — the hypervisor clamps
 progressively under sustained load, so a clean sentinel with
 uniformly-slower queries still indicates machine state, not code.
 
-## Dedup cap scale probe (round 5)
+""")
+        ds_path = os.path.join(REPO, "BENCH", "dedup_scaling.jsonl")
+        if os.path.exists(ds_path):
+            summaries = [json.loads(ln) for ln in open(ds_path)
+                         if '"summary": true' in ln]
+            if summaries:
+                s = summaries[-1]
+                slopes = s.get("slopes", {})
+                raw = s.get("slopes_raw")
+                oh = s.get("overhead_sec")
+                f.write(f"""
+## Dedup cap scale probe
 
 `tools/bench_dedup_scaling.py` (BENCH/dedup_scaling.jsonl): the three
-capped near-dup ops at 1x vs 10x corpus (per-copy cipher / sign-flip
-scrambling so the true output grows linearly; planted floods force
-the caps to fire — every 10x leg has non-empty drop accounting).
-Fitted wall-time exponents: minhash 0.375, simhash 0.239, cosine
-0.415 — all far under the 1.3 gate.  Empirical companion to the
-max_bucket_size^2 bound argument: with caps on, a 10x corpus costs
-~10x, never the flood-quadratic blowup.
+capped near-dup ops at a 3x-copies base leg vs a 30x big leg (10x
+span; per-copy cipher / sign-flip scrambling so the true output grows
+linearly; planted floods force the caps to fire — every big leg has
+non-empty drop accounting).  Round 6 fits the exponent on
+OVERHEAD-SUBTRACTED compute time: a ~256-doc leg with identical plans
+measures the fixed per-job Spark cost first, so the fit can't hide a
+within-bucket blowup inside fixed overhead (the round-5 probe's 1-copy
+base was ~1.4x overhead, flattening its exponents to 0.24-0.42).
+
+Latest summary: compute slopes {slopes}
+(raw: {raw}; measured per-op overhead sec: {oh});
+gate {s.get('gate')}: {"PASS" if s.get("pass") else "FAIL"}.
+Empirical companion to the max_bucket_size^2 bound argument: with caps
+on, a 10x corpus costs ~10x, never the flood-quadratic blowup.
+""")
+        sf1_path = os.path.join(REPO, "BENCH", "sf1_leg.json")
+        if os.path.exists(sf1_path):
+            s1 = json.load(open(sf1_path))
+            r = s1["ratios"]
+            big = s1["sf1"]
+            f.write(f"""
+## sf1 full-suite stress leg (round 6)
+
+`tools/bench_sf1.py` (BENCH/sf1_leg.json): the COMPLETE bench suite at
+sf0.1 and at a deterministic 10x dataset (240k pages; key-shifted
+table copies with referential integrity; cipher/sign-flip scrambles
+keep dedup/ANN output linear), back to back in one machine-state
+window.  Gate: every query's sf1/sf0.1 wall ratio <= 13 (10x data x
+1.3 slack) — result: {"PASS" if s1["pass"] else "FAIL"}, worst
+{s1["worst"]["query"]} at {s1["worst"]["ratio"]}x.  Pipeline at 240k
+pages: {big["queries"].get("log_pipeline")} s
+({big.get("docs_per_sec")} docs/sec); sentinels
+{big.get("calib_sec_start")}/{big.get("calib_sec_end")} single,
+{big.get("calib_mc_sec_start")}/{big.get("calib_mc_sec_end")} 24-proc.
+Per-query ratios: {json.dumps(r)}
 """)
 
 
