@@ -174,35 +174,38 @@ def main():
     # up to ±40% run-to-run (BENCH/BASELINE.md), so a single leg
     # under-reports steady-state throughput; the best leg is the
     # reproducible number (tools/bench_scaling.py does the same)
-    legs = [bench_log_pipeline(spark, corpus_dir, out_dir)]
-    if not os.environ.get("BENCH_SINGLE_LEG"):
-        legs.append(bench_log_pipeline(spark, corpus_dir, out_dir))
-    pipe = min(legs, key=lambda m: m["wall_sec"])
-    timings["log_pipeline"] = round(pipe["wall_sec"], 3)
-    timings["log_pipeline_legs"] = [round(m["wall_sec"], 3) for m in legs]
-
     # bucketed-layout leg (round-5 VERDICT item 3): same workload with
     # records written bucketBy(8, url) and the sinks consuming the
     # bucketed table — puts a wall-clock number next to the
-    # zero-Exchange plan evidence.  Skipped in BENCH_ONLY_PIPELINE
-    # (scaling) mode so the two-parallelism-level legs stay comparable
-    # across rounds.
-    if not os.environ.get("BENCH_ONLY_PIPELINE"):
-        prev_k = spark.conf.get(
-            "spark.sql.requireAllClusterKeysForCoPartition")
-        spark.conf.set(
-            "spark.sql.requireAllClusterKeysForCoPartition", "false")
-        try:
-            blegs = [bench_log_pipeline(spark, corpus_dir,
-                                        out_dir + "_bucketed",
-                                        bucket_records=8)]
-            if not os.environ.get("BENCH_SINGLE_LEG"):
-                blegs.append(bench_log_pipeline(spark, corpus_dir,
-                                                out_dir + "_bucketed",
-                                                bucket_records=8))
-        finally:
+    # zero-Exchange plan evidence.  The two layouts' legs are
+    # INTERLEAVED (default, bucketed, default, bucketed): this host's
+    # throttle deepens progressively during a bench, so running all
+    # bucketed legs after all default legs would bias the comparison
+    # against whichever layout runs last.  Skipped in
+    # BENCH_ONLY_PIPELINE (scaling) mode so the two-parallelism-level
+    # legs stay comparable across rounds.
+    with_bucketed = not os.environ.get("BENCH_ONLY_PIPELINE")
+    n_legs = 1 if os.environ.get("BENCH_SINGLE_LEG") else 2
+    legs, blegs = [], []
+    prev_k = spark.conf.get(
+        "spark.sql.requireAllClusterKeysForCoPartition")
+    for _ in range(n_legs):
+        legs.append(bench_log_pipeline(spark, corpus_dir, out_dir))
+        if with_bucketed:
             spark.conf.set(
-                "spark.sql.requireAllClusterKeysForCoPartition", prev_k)
+                "spark.sql.requireAllClusterKeysForCoPartition", "false")
+            try:
+                blegs.append(bench_log_pipeline(
+                    spark, corpus_dir, out_dir + "_bucketed",
+                    bucket_records=8))
+            finally:
+                spark.conf.set(
+                    "spark.sql.requireAllClusterKeysForCoPartition",
+                    prev_k)
+    pipe = min(legs, key=lambda m: m["wall_sec"])
+    timings["log_pipeline"] = round(pipe["wall_sec"], 3)
+    timings["log_pipeline_legs"] = [round(m["wall_sec"], 3) for m in legs]
+    if blegs:
         timings["log_pipeline_bucketed"] = round(
             min(m["wall_sec"] for m in blegs), 3)
         timings["log_pipeline_bucketed_legs"] = [

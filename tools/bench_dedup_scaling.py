@@ -34,10 +34,15 @@ super-linear within-bucket blowup could hide inside that flattening.
 Both the raw and the compute slopes are reported; the <1.3 gate is on
 the compute slope (the honest one).
 
-The base leg is 3 corpus copies and the big leg 30 (still a 10x span):
+The base leg is 5 corpus copies and the big leg 50 (still a 10x span):
 at 1 copy the r5 probe's base wall was ~1.4x the measured overhead, so
 the fitted exponents (0.24-0.42) mostly measured fixed cost, not the
-ops.
+ops.  Per-op measurement order is overhead -> base -> x10 BACK TO
+BACK, with the op's plan shape warmed untimed first: this host's
+throttle oscillates on a minutes scale, so grouping by leg (all
+overheads, then all bases...) lets a throttle spike land entirely on
+one leg class and invert the fit (observed: overhead legs > base legs
+in one grouped run).
 
 Usage: python tools/bench_dedup_scaling.py [sf_dir] [n_copies] [base_copies]
 """
@@ -121,8 +126,8 @@ def timed(df) -> float:
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    n_copies = int(sys.argv[2]) if len(sys.argv) > 2 else 30
-    base_copies = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    n_copies = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    base_copies = int(sys.argv[3]) if len(sys.argv) > 3 else 5
 
     from bench import cpu_calibration
     from log_parser_spark.engine.session import get_spark
@@ -141,18 +146,28 @@ def main():
         return {"minhash": (mh, mh_drops), "simhash": (sh, sh_drops),
                 "cosine": (co, co_drops)}
 
-    results = []
+    # build all three corpora up front; "overhead" = identical plans
+    # over a ~256-row slice, so its wall time is the fixed per-job
+    # Spark cost, measured, not guessed
+    corpora = {}
     for tag, copies in (("overhead", 1), ("base", base_copies),
                         ("x10", n_copies)):
         docs = docs_leg(spark, sf_dir, copies)
         emb = emb_leg(spark, sf_dir, copies)
         if tag == "overhead":
-            # identical plans over a ~256-row slice: wall time here is
-            # the fixed per-job Spark cost, measured, not guessed
             docs = docs.filter(F.pmod("doc_id", F.lit(97)) == 0)
             emb = emb.filter(F.pmod("vec_id", F.lit(97)) == 0)
-        n_docs, n_vecs = docs.count(), emb.count()
-        for op, (pairs, drops) in ops_for(docs, emb).items():
+        corpora[tag] = (docs, emb, copies, docs.count(), emb.count())
+
+    results = []
+    for op in ("minhash", "simhash", "cosine"):
+        # warm this op's plan shape untimed (codegen compiles once per
+        # plan shape; an unwarmed overhead leg would time compilation)
+        warm_docs, warm_emb = corpora["overhead"][:2]
+        timed(ops_for(warm_docs, warm_emb)[op][0])
+        for tag in ("overhead", "base", "x10"):
+            docs, emb, copies, n_docs, n_vecs = corpora[tag]
+            pairs, drops = ops_for(docs, emb)[op]
             calib = cpu_calibration()
             legs = [timed(pairs), timed(pairs)]
             n_drop = drops.count() if tag != "overhead" else 0
