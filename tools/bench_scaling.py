@@ -194,7 +194,7 @@ uniformly-slower queries still indicates machine state, not code.
 ## Dedup cap scale probe
 
 `tools/bench_dedup_scaling.py` (BENCH/dedup_scaling.jsonl): the three
-capped near-dup ops at a 3x-copies base leg vs a 30x big leg (10x
+capped near-dup ops at a 5x-copies base leg vs a 50x big leg (10x
 span; per-copy cipher / sign-flip scrambling so the true output grows
 linearly; planted floods force the caps to fire — every big leg has
 non-empty drop accounting).  Round 6 fits the exponent on
