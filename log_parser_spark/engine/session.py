@@ -76,6 +76,34 @@ def get_spark(app_name: str = "log-parser-spark", cores: int | None = None,
 _PYFILES_SENT: set[str] = set()
 
 
+def build_pyfiles_zip(zip_path: str | None = None) -> str:
+    """Zip the package for worker-side import (sc.addPyFile).  Members:
+    code AND the vendored data tree — addPyFile zips sit AHEAD of
+    PYTHONPATH on worker sys.path, so this zip shadows the on-disk
+    package for every worker import; a py-only zip silently breaks any
+    worker-side datafiles.data_dir() call (zip-resource extraction
+    finds no data/ member).  Same member filter as
+    tools/make_pyfiles.py (pinned by tests/test_packaging.py)."""
+    import zipfile
+
+    if zip_path is None:
+        zip_path = os.path.join(
+            os.environ.get("TMPDIR", "/tmp"), "log_parser_spark_pyfiles.zip")
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    data_root = os.path.join(pkg_root, "data")
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, _dirs, files in os.walk(pkg_root):
+            for f in files:
+                full = os.path.join(root, f)
+                if f.endswith(".py") or full.startswith(
+                        data_root + os.sep):
+                    rel = os.path.join(
+                        "log_parser_spark",
+                        os.path.relpath(full, pkg_root))
+                    z.write(full, rel)
+    return zip_path
+
+
 def ensure_workers_can_import(spark: SparkSession) -> None:
     """Make the log_parser_spark package importable in python workers of
     an EXTERNALLY-created SparkSession (e.g. the verification driver's):
@@ -88,20 +116,7 @@ def ensure_workers_can_import(spark: SparkSession) -> None:
     key = spark.sparkContext.applicationId
     if key in _PYFILES_SENT:
         return
-    import zipfile
-
-    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    zip_path = os.path.join(
-        os.environ.get("TMPDIR", "/tmp"), "log_parser_spark_pyfiles.zip")
-    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as z:
-        for root, _dirs, files in os.walk(pkg_root):
-            for f in files:
-                if f.endswith(".py"):
-                    full = os.path.join(root, f)
-                    rel = os.path.join(
-                        "log_parser_spark",
-                        os.path.relpath(full, pkg_root))
-                    z.write(full, rel)
+    zip_path = build_pyfiles_zip()
     try:
         spark.sparkContext.addPyFile(zip_path)
     except Exception:

@@ -20,6 +20,21 @@ def test_zip_contains_code_and_data(tmp_path):
     assert any("data/input_files/" in n for n in names)
 
 
+def test_worker_pyfiles_zip_contains_data(tmp_path):
+    """Regression (round 6): ensure_workers_can_import's addPyFile zip
+    shadows the on-disk package on worker sys.path, so it must carry
+    the data tree too — a py-only zip broke every later worker-side
+    datafiles.data_dir() call in the same (shared) session with
+    FileNotFoundError on the zip's missing data/ member."""
+    sys.path.insert(0, "/root/repo")
+    from log_parser_spark.engine.session import build_pyfiles_zip
+    zp = build_pyfiles_zip(str(tmp_path / "workers.zip"))
+    names = zipfile.ZipFile(zp).namelist()
+    assert any(n.endswith("engine/session.py") for n in names)
+    assert any(n.endswith("data/log_records.parquet") for n in names)
+    assert any("data/input_files/" in n for n in names)
+
+
 def test_zip_only_import_resolves_data(tmp_path):
     sys.path.insert(0, "/root/repo")
     from tools.make_pyfiles import main as make_zip
