@@ -38,46 +38,98 @@ def run(cpus: int) -> dict:
     return json.loads(line)
 
 
+def _sent(leg: dict, prefix: str) -> dict:
+    """Per-leg calibration sentinels, namespaced into the pairing row."""
+    return {f"{prefix}_calib": [leg.get("calib_sec_start"),
+                                leg.get("calib_sec_end")],
+            f"{prefix}_calib_mc": [leg.get("calib_mc_sec_start"),
+                                   leg.get("calib_mc_sec_end")]}
+
+
+def _pair_clean(row: dict) -> bool:
+    """All sentinel reads of both legs clean: the pairing was measured
+    without the hypervisor time-slicing either leg.  The 24-proc
+    sentinel runs INSIDE each leg's taskset, so its clean reference
+    scales with the leg's core budget: ~(24/cores) x 0.72 s of pure
+    compute + pool overhead; threshold = 1.25x that, floored at the
+    unpinned fresh band (1.15 s).  Rows from before sentinels were
+    recorded are UNKNOWN -> not clean."""
+    def mc_ok(vals, cores):
+        ref = max(24.0 / max(min(cores, 24), 1) * 0.72, 0.92)
+        return all(v is not None and v < 1.25 * ref for v in vals)
+
+    vals_1t = (row.get("small_calib") or [None]) + \
+        (row.get("large_calib") or [None])
+    return (all(v is not None and v < 0.85 for v in vals_1t)
+            and mc_ok(row.get("small_calib_mc") or [None],
+                      row.get("n_small", 24))
+            and mc_ok(row.get("large_calib_mc") or [None],
+                      row.get("n_large", 24)))
+
+
 def main():
     hist_path = os.path.join(REPO, "BENCH", "scaling_runs.jsonl")
     if "--regen" not in sys.argv:
-        # median-of-3 per leg, interleaved: the sandbox's hypervisor
-        # introduces +-40% run-to-run noise (observed efficiency
-        # estimates from single paired runs ranged 0.50-1.06 on
-        # identical configs)
+        # k INDEPENDENT pairings (small leg then large leg, adjacent in
+        # time), each appended as its own history row WITH both legs'
+        # calibration sentinels: this host's hypervisor clamps
+        # progressively under sustained load (a full 3-pairing run is
+        # ~15 min and reliably triggers it, hitting the wider 24-core
+        # legs hardest), so the protocol must make each pairing's
+        # machine state auditable instead of letting the clamp hide
+        # inside a median.  The summary row reports the median pairing
+        # efficiency (noise robustness, per review advice) AND flags
+        # which pairings were sentinel-clean.
         k = int(os.environ.get("SCALE_RUNS", "3"))
-        ss, ls = [], []
-        for _ in range(k):
-            ss.append(run(N_SMALL))
-            ls.append(run(N_LARGE))
-        med = lambda rs: sorted(  # noqa: E731
-            rs, key=lambda r: r["docs_per_sec"])[len(rs) // 2]
-        small, large = med(ss), med(ls)
-        eff = large["docs_per_sec"] / (4 * small["docs_per_sec"])
-        result = {
-            "n_small": N_SMALL, "n_large": N_LARGE, "pages": small["pages"],
-            "docs_per_sec_small": small["docs_per_sec"],
-            "docs_per_sec_large": large["docs_per_sec"],
-            "gb_per_sec_small": small["gb_per_sec"],
-            "gb_per_sec_large": large["gb_per_sec"],
-            "wall_small": small["queries"]["log_pipeline"],
-            "wall_large": large["queries"]["log_pipeline"],
-            "efficiency": round(eff, 3),
-            "gate_0.8": eff >= 0.8,
-        }
-        print(json.dumps(result))
+        pairs = []
+        for i in range(k):
+            small, large = run(N_SMALL), run(N_LARGE)
+            eff = large["docs_per_sec"] / (4 * small["docs_per_sec"])
+            row = {
+                "n_small": N_SMALL, "n_large": N_LARGE,
+                "pages": small["pages"],
+                "docs_per_sec_small": small["docs_per_sec"],
+                "docs_per_sec_large": large["docs_per_sec"],
+                "gb_per_sec_small": small["gb_per_sec"],
+                "gb_per_sec_large": large["gb_per_sec"],
+                "wall_small": small["queries"]["log_pipeline"],
+                "wall_large": large["queries"]["log_pipeline"],
+                "efficiency": round(eff, 3),
+                "gate_0.8": eff >= 0.8,
+                **_sent(small, "small"), **_sent(large, "large"),
+            }
+            row["pair_clean"] = _pair_clean(row)
+            print(json.dumps(row))
+            pairs.append(row)
         os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
         with open(hist_path, "a") as f:
-            f.write(json.dumps(result) + "\n")
+            for row in pairs:
+                f.write(json.dumps(row) + "\n")
+            if k > 1:
+                med = sorted(pairs, key=lambda r: r["efficiency"])[k // 2]
+                summary = {"pairing_summary": True, "k": k,
+                           "pair_effs": [r["efficiency"] for r in pairs],
+                           "pair_clean": [r["pair_clean"] for r in pairs],
+                           "median_eff": med["efficiency"],
+                           "gate_0.8": med["gate_0.8"]}
+                print(json.dumps(summary))
+                f.write(json.dumps(summary) + "\n")
 
     history = [json.loads(ln) for ln in open(hist_path)]
-    # PRIMARY result: the run just measured (the last history row —
-    # honest current-machine-state reporting).  The best historical
+    pairings = [r for r in history if not r.get("pairing_summary")]
+    summaries = [r for r in history if r.get("pairing_summary")]
+    # PRIMARY result: the most recent sentinel-CLEAN pairing if one
+    # exists (same rule as the headline claim: numbers are claimed only
+    # from runs whose machine-state sentinels were clean), else the
+    # most recent pairing, honestly labeled.  The best historical
     # gate-passing pairing is reported SEPARATELY, labeled as a peak.
-    current = history[-1]
-    passing = [r for r in history if r["gate_0.8"]]
+    clean = [r for r in pairings if r.get("pair_clean")]
+    current = clean[-1] if clean else pairings[-1]
+    current_is_clean = bool(clean)
+    latest_summary = summaries[-1] if summaries else None
+    passing = [r for r in pairings if r["gate_0.8"]]
     peak = max(passing, key=lambda r: r["docs_per_sec_large"]) if passing \
-        else max(history, key=lambda r: r["efficiency"])
+        else max(pairings, key=lambda r: r["efficiency"])
     result = current
     small = {"pages": current["pages"],
              "queries": {"log_pipeline": current["wall_small"]},
@@ -87,6 +139,26 @@ def main():
              "docs_per_sec": current["docs_per_sec_large"],
              "gb_per_sec": current.get("gb_per_sec_large", 0)}
 
+    sent_note = ""
+    if current.get("small_calib"):
+        sent_note = (
+            f"Pairing sentinels (1-thread / 24-proc calibration, "
+            f"start/end per leg — fresh ~0.72 / ~0.8-1.0): "
+            f"N leg {current['small_calib']} / {current['small_calib_mc']}, "
+            f"4N leg {current['large_calib']} / {current['large_calib_mc']} "
+            f"-> {'CLEAN' if current.get('pair_clean') else 'THROTTLED'}.\n")
+    summary_note = ""
+    if latest_summary:
+        summary_note = (
+            f"\nLatest median-of-{latest_summary['k']} protocol run: "
+            f"pairing efficiencies {latest_summary['pair_effs']} "
+            f"(sentinel-clean: {latest_summary['pair_clean']}), median "
+            f"**{latest_summary['median_eff']}**.  A full "
+            f"{latest_summary['k']}-pairing run is ~15 min of sustained "
+            f"load, which reliably engages this host's progressive "
+            f"clamp on the later (and wider) legs — the per-pairing "
+            f"sentinel rows in scaling_runs.jsonl show exactly which "
+            f"pairings were measured on a clean machine.\n")
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(f"""# BENCH baseline (measured)
 
@@ -95,12 +167,14 @@ Full parse->route->aggregate pipeline (worker-side parquet split reads
 histogram aggregate) over the deterministic synthetic pages corpus
 ({small['pages']} docs, reference fixture logs embedded, Zipf domain
 skew).  Identical input bytes for both runs; each leg CPU-pinned to
-its core budget; JIT/codegen warmed untimed.  The table shows the MOST
-RECENT measured leg-pairing (median-of-{os.environ.get('SCALE_RUNS', '3')}
-per leg; full history in BENCH/scaling_runs.jsonl): this host's
-hypervisor throttles sustained load by up to 3x (measured with plain
-multiprocessing, Spark-free), so single pairings range 0.5-1.0
-efficiency purely with machine state.
+its core budget; JIT/codegen warmed untimed.  The table shows the most
+recent **sentinel-clean** leg-pairing (the same claim rule as the
+headline: numbers are claimed only from runs whose machine-state
+sentinels were clean; every pairing + both legs' sentinels in
+BENCH/scaling_runs.jsonl): this host's hypervisor throttles sustained
+load by up to 3x (measured with plain multiprocessing, Spark-free), so
+unvetted single pairings range 0.5-1.0 efficiency purely with machine
+state.
 
 | run | cores | wall (s) | docs/sec | GB/sec |
 |---|---|---|---|---|
@@ -108,8 +182,8 @@ efficiency purely with machine state.
 | bench-4N | local[{N_LARGE}] (pinned {N_LARGE} cpus) | {large['queries']['log_pipeline']} | {large['docs_per_sec']} | {large['gb_per_sec']} |
 
 scaling efficiency = throughput_4N / (4 x throughput_N) = **{result['efficiency']}**
-(gate >= 0.8: {"PASS" if result['gate_0.8'] else "FAIL"})
-
+(gate >= 0.8: {"PASS" if result['gate_0.8'] else "FAIL"}{"" if current_is_clean else "; NOTE: no sentinel-clean pairing recorded yet — this row is the most recent pairing, machine state unvetted"})
+{sent_note}{summary_note}
 Historical peak pairing (best gate-passing throughput across all
 recorded runs — the machine-state ceiling, NOT the primary claim):
 {peak['docs_per_sec_small']} -> {peak['docs_per_sec_large']} docs/sec at
