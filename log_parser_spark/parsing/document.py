@@ -82,8 +82,15 @@ def human_num_to_int(value_str: str, unit_str: str) -> int:
 
 
 def _is_options_entry(entry: Entry):
-    # log_file_options_parser.py:41-60 — exactly one OPTION_LINE match in msg
-    m = _OPTION_LINE_RE.findall(entry.get_msg())
+    # log_file_options_parser.py:41-60 — exactly one OPTION_LINE match
+    # in msg.  OPTION_LINE requires the literal "Options." — the
+    # substring gate skips the full-msg findall scan on the vast
+    # majority of entries (this probe runs once per entry per dispatch
+    # attempt, the hottest regex in the parse).
+    msg = entry.get_msg()
+    if "Options." not in msg:
+        return None
+    m = _OPTION_LINE_RE.findall(msg)
     if len(m) != 1 or len(m[0]) != 2:
         return None
     return m[0][0].strip(), m[0][1].strip()
@@ -480,7 +487,11 @@ class DocumentParser:
     # -- cf options (log_file.py:305-326,373-384; parser 204-259) ----------
     def try_cf_options(self) -> bool:
         e = self.cur()
-        header = _CF_OPTIONS_START_RE.findall(e.get_msg())
+        msg = e.get_msg()
+        # CF_OPTIONS_START requires this literal; skip the regex scan
+        # (this probe runs once per entry in the dispatch chain)
+        header = _CF_OPTIONS_START_RE.findall(msg) \
+            if "Options for column family [" in msg else []
         if len(header) == 1:
             self._parse_cf_options(cf_name=header[0], auto_generated=False,
                                    skip_header=True)

@@ -55,8 +55,11 @@ class Entry:
 
 
 def is_entry_start(line: str) -> bool:
-    # log_entry.py:23-37 — first token must contain the timestamp pattern
-    tokens = line.strip().split()
+    # log_entry.py:23-37 — first token must contain the timestamp
+    # pattern.  split(None, 1) stops at the first token boundary
+    # instead of tokenizing the whole line (this runs once per LINE of
+    # every document — the hottest predicate in the parse).
+    tokens = line.split(None, 1)
     if not tokens:
         return False
     return bool(_ts_re.search(tokens[0]))
@@ -66,21 +69,30 @@ def parse_start_line(line_idx: int, line: str) -> Entry | None:
     """Destructure an entry start line (log_entry.py:52-108).
 
     Returns None on a malformed start line (caller discards + skips).
-    """
-    m = _warn_start_re.findall(line)
+
+    Hot path: search() (first match) replaces findall()[0] — identical
+    groups for these patterns, without building every-match tuple
+    lists — and the warn-variant regex only runs when its required
+    literal bracket token is present (~3% of start lines).  groups("")
+    keeps findall's empty-string convention for unmatched optional
+    groups (code_pos lands in the records table; None would change
+    bytes)."""
+    m = None
+    if "[WARN]" in line or "[ERROR]" in line or "[FATAL]" in line:
+        m = _warn_start_re.search(line)
     if m:
-        ts, context, orig_time, warn_type, code_pos, rest = m[0]
+        ts, context, orig_time, warn_type, code_pos, rest = m.groups("")
     else:
-        m = _start_re.findall(line)
+        m = _start_re.search(line)
         if not m:
             return None
-        ts, context, orig_time, code_pos, rest = m[0]
+        ts, context, orig_time, code_pos, rest = m.groups("")
         warn_type = None
 
     if code_pos:
-        inner = _code_pos_val_re.findall(code_pos)
+        inner = _code_pos_val_re.search(code_pos)
         if inner:
-            code_pos = inner[0]
+            code_pos = inner.group(1)
 
     entry = Entry(
         start_line_idx=line_idx,
@@ -93,10 +105,11 @@ def parse_start_line(line_idx: int, line: str) -> Entry | None:
     if rest:
         entry.msg_lines.append(rest)
 
-    cfjob = _cf_job_re.findall(line)
-    if cfjob:
-        entry.cf_name, job_id = cfjob[0]
-        entry.job_id = int(job_id)
+    if "[JOB " in line:  # JOB_ID requires this literal; skip the scan
+        cfjob = _cf_job_re.search(line)
+        if cfjob:
+            entry.cf_name, job_id = cfjob.groups()
+            entry.job_id = int(job_id)
 
     return entry
 
