@@ -19,17 +19,31 @@ def counters_sink(counters: DataFrame) -> DataFrame:
     """S3: zero-filled (url, ts, name, value) grid over the unified
     per-url time axis x non-all-zero counters (csv_outputter.py:25-72).
 
-    first_seen orders columns by appearance (counters.py:42-45)."""
-    nonzero = (counters.groupBy("url", "name")
-               .agg(F.max("value").alias("mx"), F.min("seq").alias("first_seen"))
+    first_seen orders columns by appearance (counters.py:42-45).
+
+    ONE scan of the branch: Catalyst has no cross-join subtree CSE, so
+    deriving nonzero / vals / times as three frames over the raw branch
+    repeats the 23M-row records scan + extract three times inside the
+    one write job (measured ~3x the sink's whole cost at 96k pages).
+    Instead the (url, ts, name) aggregate carries max(value) and
+    min(seq) alongside the first-seen cell — max of per-group maxes ==
+    raw max and min of per-group mins == raw min, so nonzero/first_seen
+    semantics are EXACTLY unchanged — and a lazy localCheckpoint
+    barrier on that tiny aggregate (~5600x smaller than the branch)
+    lets all three consumers share one materialization (the PLANS.md
+    barrier pattern; plan pinned by test_grid_sinks_axis_agg_collapses)."""
+    vals_full = (counters.groupBy("url", "ts", "name").agg(
+        F.min_by("value", "seq").alias("value"),
+        F.max("value").alias("_mx"),
+        F.min("seq").alias("_minseq"))
+        .localCheckpoint(eager=False))
+    nonzero = (vals_full.groupBy("url", "name")
+               .agg(F.max("_mx").alias("mx"),
+                    F.min("_minseq").alias("first_seen"))
                .filter(F.col("mx") > 0)
                .select("url", "name", "first_seen"))
-    vals = counters.groupBy("url", "ts", "name").agg(
-        F.min_by("value", "seq").alias("value"))
-    # the time axis is derived from vals, not a third scan of the
-    # branch: every (url, ts) present in the raw rows survives the
-    # (url, ts, name) aggregate, so the axes are identical
-    times = vals.select("url", "ts").distinct()
+    vals = vals_full.select("url", "ts", "name", "value")
+    times = vals_full.select("url", "ts").distinct()
     grid = times.join(nonzero, "url")
     return (grid.join(vals, ["url", "ts", "name"], "left")
             .na.fill({"value": 0})
@@ -45,16 +59,22 @@ def histograms_sink(histograms: DataFrame) -> DataFrame:
     unified per-url histogram time axis; missing samples zero-filled,
     `present` records whether the sample existed (the tools CSV emits
     truncated rows for exhausted counters — csv_outputter.py:174-193)."""
-    nonzero = (histograms.groupBy("url", "name")
-               .agg(F.max("count").alias("mx"), F.min("seq").alias("first_seen"))
+    # one scan + lazy checkpoint barrier on the tiny aggregate — same
+    # exact-semantics restructure as counters_sink (max of per-group
+    # maxes == raw max; min of per-group mins == raw min)
+    vals_full = (histograms.groupBy("url", "ts", "name").agg(
+        *[F.min_by(c, "seq").alias(c) for c in _HIST_COLS],
+        F.lit(True).alias("present"),
+        F.max("count").alias("_mx"),
+        F.min("seq").alias("_minseq"))
+        .localCheckpoint(eager=False))
+    nonzero = (vals_full.groupBy("url", "name")
+               .agg(F.max("_mx").alias("mx"),
+                    F.min("_minseq").alias("first_seen"))
                .filter(F.col("mx") > 0)
                .select("url", "name", "first_seen"))
-    vals = histograms.groupBy("url", "ts", "name").agg(
-        *[F.min_by(c, "seq").alias(c) for c in _HIST_COLS],
-        F.lit(True).alias("present"))
-    # time axis from vals — same axis, one fewer branch scan (see
-    # counters_sink)
-    times = vals.select("url", "ts").distinct()
+    vals = vals_full.select("url", "ts", "name", *_HIST_COLS, "present")
+    times = vals_full.select("url", "ts").distinct()
     grid = times.join(nonzero, "url")
     out = grid.join(vals, ["url", "ts", "name"], "left")
     return out.na.fill({c: 0 for c in _HIST_COLS}).na.fill(

@@ -97,19 +97,27 @@ def test_ivf_seed_selection_no_global_shuffle(spark):
 
 
 def test_grid_sinks_axis_agg_collapses(records):
-    """S3/S4 grids: the time axis is written as a projection of the
-    vals aggregate; Catalyst collapses distinct-over-aggregate into a
-    direct (url, ts) aggregate on the scan — the axis never pays the
-    min_by value computation, and the whole sink stays at three scans
-    of the branch with broadcast joins only."""
+    """S3/S4 grids (round-6 shape): nonzero / vals / times all derive
+    from ONE (url, ts, name) aggregate behind a lazy localCheckpoint
+    barrier, so the whole sink scans the records branch exactly once
+    (Catalyst has no cross-join subtree CSE — the old three-frame
+    formulation repeated the 23M-row scan + extract three times inside
+    the write job).  The barrier surfaces as ExistingRDD/Scan
+    ExistingRDD nodes; the records file scan must appear exactly once
+    and the grid joins stay broadcast."""
     from log_parser_spark.engine import branches, sinks
     p = plan(sinks.counters_sink(branches.counters(records)))
     assert "SortMergeJoin" not in p
     assert p.count("BroadcastExchange") == 2
-    # axis side collapsed: an exchange keyed (url, ts) exists, proving
-    # the distinct was rewritten to an aggregate, not evaluated over
-    # the vals min_by output
-    assert "hashpartitioning(url" in p
+    # the barrier appears once per consumer (nonzero / vals / times),
+    # all referencing the SAME lazily-checkpointed RDD — computed and
+    # persisted once at the write action
+    assert p.count("Scan ExistingRDD") == 3, p[:3000]
+    # the records parquet scan lives INSIDE the checkpoint RDD's
+    # lineage, so the sink's SQL plan itself contains no file scan at
+    # all (the old three-frame shape had three)
+    import re as _re
+    assert not _re.findall(r"FileScan parquet|Scan parquet", p), p[:3000]
 
 
 def test_quality_tokenizes_once(spark):
