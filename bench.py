@@ -6,7 +6,7 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
    "queries": {...per-query sec...}, "sf": ...,
    "docs_per_sec": ..., "gb_per_sec": ...}
 
-The headline workload is the full log pipeline (pages -> mapInPandas
+The headline workload is the full log pipeline (pages -> mapInArrow
 parse -> route -> sink writes -> aggregate) over a deterministic
 synthetic pages corpus, plus representative relational / dedup /
 similarity queries over the sf tables.

@@ -170,11 +170,14 @@ def main():
                 f"mc sentinel {worst['large_calib_mc']} vs fresh "
                 f"~0.8-1.0) — the protocol self-reports machine state "
                 f"instead of averaging it in.")
+        med = sorted(effs)[len(effs) // 2]
         proto_note = (
             f"\nAll {len(proto)} pairings recorded at the current "
-            f"{PAGES}-page protocol: efficiencies {effs} "
-            f"({n_pass}/{len(proto)} pass the gate; sentinel-clean "
-            f"flags {[r['pair_clean'] for r in proto]})."
+            f"{PAGES}-page protocol: efficiencies {effs}, median "
+            f"**{med}** (gate >= 0.8: "
+            f"{'PASS' if med >= 0.8 else 'FAIL'}; {n_pass}/{len(proto)} "
+            f"individually pass; sentinel-clean flags "
+            f"{[r['pair_clean'] for r in proto]})."
             f"{fail_note}\n")
     sent_note = ""
     if current.get("small_calib"):
