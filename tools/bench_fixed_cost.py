@@ -81,9 +81,15 @@ def main():
     for pages in (96000, 240000):
         w = r6 * pages
         caps[str(pages)] = round((w / 6 + f6) / (w / 6 + 4 * f24), 3)
+    # NOTE: caps use THIS window's measured rate r — under hypervisor
+    # throttle r is inflated, which inflates W and thus the cap; read
+    # the calib fields of the rows above before comparing these caps
+    # against pairing efficiencies from other windows.
     summary = {"summary": True, "fixed_cost_sec": {"6": f6, "24": f24},
                "core_s_per_page": r6,
-               "efficiency_cap_linear_compute": caps}
+               "efficiency_cap_linear_compute_this_window": caps,
+               "width_rate_ratio_24_over_6": round(
+                   rows[1]["core_s_per_page"] / max(r6, 1e-9), 3)}
     print(json.dumps(summary), flush=True)
     with open(os.path.join(REPO, "BENCH", "fixed_cost_probe.jsonl"),
               "a") as fh:

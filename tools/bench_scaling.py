@@ -216,19 +216,30 @@ load by up to 3x (measured with plain multiprocessing, Spark-free), so
 unvetted single pairings range 0.5-1.0 efficiency purely with machine
 state.
 
-Round-6 protocol change — compute-dominated legs: the per-job fixed
-cost f (planning + sink commits + job scheduling, ~8-14 s with host
-state) is invariant across core counts and caps the measurable
-efficiency of perfectly LINEAR compute at (W/6+f)/(W/6+4f).  At the
-old 96k-page input (W ~= 690 core-s) with this session's f ~= 13.6 s
-that cap is 0.76 — exactly the sentinel-clean 96k pairing's reading
-(0.725-0.76 in scaling_runs.jsonl), i.e. those sub-0.8 rows measure
-the fixed-cost artifact, not sublinear compute.  This is the same
-overhead-domination failure the round-5 review flagged for the dedup
-scale probe, fixed the same way: legs large enough to be
-compute-dominated (240k pages raises the cap to ~0.88; at 100 TB the
-fixed cost amortizes to nothing — the two-cluster-size criterion is
-about the scalable fraction).
+Round-6 protocol change — compute-dominated legs: the per-run fixed
+cost f (planning + sink commits + job scheduling) is invariant across
+core counts — measured DIRECTLY by tools/bench_fixed_cost.py
+(tiny-vs-big leg at each width, same machine-state window,
+BENCH/fixed_cost_probe.jsonl): **f = 4.2 s at 6 cores vs 4.1 s at 24
+cores**.  A width-invariant f caps the measurable efficiency of
+perfectly LINEAR compute at (W/6+f)/(W/6+4f), and shrinks the
+4N leg's denominator four times faster than the N leg's — at the old
+96k-page input the fixed share of the 24-core leg was ~4x that of the
+6-core leg, so the input size itself depressed the ratio.  This is
+the same overhead-domination failure the round-5 review flagged for
+the dedup scale probe, fixed the same way: legs large enough to be
+compute-dominated.  At 100 TB the fixed cost amortizes to nothing —
+the two-cluster-size criterion is about the scalable fraction.
+
+The rest of the 96k-era deficit is the HOST's width tax, not the
+workload: the same probe measured per-core compute rate 25% lower at
+24 cores than at 6 in the same window, which is exactly what the
+24-proc calibration sentinel reads Spark-free (mc floor 1.1-1.2x its
+scaled ideal this session, up to 1.9x mid-clamp).  Two Spark-free
+controls bound the workload's own scalability: the identical
+per-worker task under plain multiprocessing scales 3.9x for 4x procs
+(below), and the sf1 stress leg shows every query ~linear in input
+size (BENCH/sf1_leg.json).
 
 | run | cores | wall (s) | docs/sec | GB/sec |
 |---|---|---|---|---|
