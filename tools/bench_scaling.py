@@ -36,7 +36,60 @@ N_LARGE = 4 * N_SMALL
 PAGES = os.environ.get("BENCH_PAGES", "240000")
 
 
+def _sentinel_probe() -> tuple[float, float]:
+    """Quick Spark-free machine-state probe (same LCG loads bench.py
+    times): (1-thread sec, 24-proc sec)."""
+    import multiprocessing as mp
+    import time
+
+    def lcg(n=6_000_000):
+        t0 = time.perf_counter()
+        x = 1
+        for _ in range(n):
+            x = (x * 1103515245 + 12345) & 0xFFFFFFFF
+        return time.perf_counter() - t0
+
+    t1 = lcg()
+    t0 = time.perf_counter()
+    with mp.Pool(24) as p:
+        p.map(_lcg_child, [6_000_000] * 24)
+    return t1, time.perf_counter() - t0
+
+
+def _lcg_child(n):
+    x = 1
+    for _ in range(n):
+        x = (x * 1103515245 + 12345) & 0xFFFFFFFF
+    return x
+
+
+def _wait_clean(max_wait_sec: float = 900) -> None:
+    """Block until the host sentinel reads clean (or give up).
+
+    Used per-LEG under SCALE_GATE_CLEAN=1: this host's hypervisor
+    clamp is triggered by sustained load, so the 4N leg otherwise
+    always runs in the shadow of the N leg's own ~5-minute burn —
+    measuring the wide leg's machine state, not the code's scaling.
+    Gating leg START on a clean probe cannot inflate the claim: the
+    pair_clean flag is still decided by the IN-RUN sentinels both
+    legs record."""
+    import time
+    deadline = time.time() + max_wait_sec
+    while True:
+        t1, tmc = _sentinel_probe()
+        if t1 < 0.80 and tmc < 1.14:
+            return
+        if time.time() >= deadline:
+            print(f"# leg-start gate: no clean window in "
+                  f"{max_wait_sec:.0f}s (last 1t={t1:.2f} mc={tmc:.2f})"
+                  f" — proceeding", flush=True)
+            return
+        time.sleep(120)
+
+
 def run(cpus: int) -> dict:
+    if os.environ.get("SCALE_GATE_CLEAN"):
+        _wait_clean()
     env = dict(os.environ,
                SPARK_GRAFT_CPUS=str(cpus),
                BENCH_PAGES=PAGES,
@@ -230,6 +283,13 @@ the same overhead-domination failure the round-5 review flagged for
 the dedup scale probe, fixed the same way: legs large enough to be
 compute-dominated.  At 100 TB the fixed cost amortizes to nothing —
 the two-cluster-size criterion is about the scalable fraction.
+
+Leg-start gating (SCALE_GATE_CLEAN=1): the clamp is triggered by
+sustained load, so the 4N leg otherwise always starts in the shadow
+of the N leg's own ~5-minute burn.  Gated runs start each leg only
+once the Spark-free sentinel probe reads clean again; this cannot
+inflate the claim because pair_clean is still decided by the in-run
+sentinels both legs record.
 
 The rest of the 96k-era deficit is the HOST's width tax, not the
 workload: the same probe measured per-core compute rate 25% lower at
