@@ -129,7 +129,15 @@ def register_records_table(spark: SparkSession, out_dir: str,
     if spark.catalog.tableExists(table):
         return table
     rec_path = os.path.join(out_dir, "records", f"bucket={bucket}")
-    with open(os.path.join(rec_path, "_bucket_spec.json")) as f:
+    spec_path = os.path.join(rec_path, "_bucket_spec.json")
+    if not os.path.exists(spec_path):
+        raise FileNotFoundError(
+            f"{spec_path}: records bucket {bucket} has no bucket-spec "
+            f"marker — it was written without bucket_records (plain "
+            f"parquet layout) or by a pre-bucketing version; resume it "
+            f"without bucket_records, or re-run the bucket with "
+            f"bucket_records set to rewrite the bucketed layout")
+    with open(spec_path) as f:
         spec = json.load(f)
     schema = spark.read.parquet(rec_path).schema
     cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"

@@ -31,7 +31,15 @@ def counters_sink(counters: DataFrame) -> DataFrame:
     semantics are EXACTLY unchanged — and a lazy localCheckpoint
     barrier on that tiny aggregate (~5600x smaller than the branch)
     lets all three consumers share one materialization (the PLANS.md
-    barrier pattern; plan pinned by test_grid_sinks_axis_agg_collapses)."""
+    barrier pattern; plan pinned by test_grid_sinks_axis_agg_collapses).
+
+    Known small leak: the lazily-checkpointed aggregate's RDD blocks
+    stay persisted for the session's lifetime (the sink returns a
+    DataFrame, so there is no post-write hook here to unpersist them).
+    Each pipeline bucket/epoch leaves two such tiny cached aggregates
+    (this sink + histograms_sink) behind; bounded and harmless for
+    batch runs, but a VERY long-lived session re-running thousands of
+    buckets should spark.catalog.clearCache() between epochs."""
     vals_full = (counters.groupBy("url", "ts", "name").agg(
         F.min_by("value", "seq").alias("value"),
         F.max("value").alias("_mx"),

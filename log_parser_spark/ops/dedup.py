@@ -150,9 +150,10 @@ def connected_components(edges: DataFrame, a: str = "a", b: str = "b",
 
     Scale posture: each round is one shuffle join on the node id plus
     one combinable groupBy-min, and the loop EARLY-STOPS on the first
-    round with zero label changes (one count() action per round — on
-    near-dup graphs, whose components are small chains/cliques,
-    convergence takes ~component-diameter rounds, typically 2-4).
+    round with zero label changes (one cheap sum-aggregate action per
+    round, see below — on near-dup graphs, whose components are small
+    chains/cliques, convergence takes ~component-diameter rounds,
+    typically 2-4).
     Labels are localCheckpoint()ed every round so the plan stays flat
     instead of growing once per iteration (lineage blowup is the
     classic iterative-Spark failure).
@@ -161,16 +162,32 @@ def connected_components(edges: DataFrame, a: str = "a", b: str = "b",
     ``max_iters`` while labels are still changing (a component's
     diameter exceeds the round budget — adversarial long-path graphs),
     the result would silently merge-split components, so the default
-    ``on_nonconverged='raise'`` raises RuntimeError naming the residual
-    change count; pass ``'warn'`` to instead get the partial labels
+    ``on_nonconverged='raise'`` raises RuntimeError; pass
+    ``'warn'`` to instead get the partial labels
     plus a warnings.warn, for exploratory use only.  Raise max_iters,
     or swap in a star-contraction variant, if components with diameter
     > max_iters are expected; dedup graphs converge in a handful of
-    rounds."""
+    rounds.  NOTE the bound must exceed the largest component diameter
+    by ONE verification round: the loop only knows it converged when a
+    round observes zero changes, so a graph that needs exactly
+    max_iters productive rounds still raises (there was no budget left
+    for the verifying round).
+
+    Change detection is a cheap aggregate, not a join: every round
+    takes each node's label to the MIN of itself and its neighbors, so
+    labels are monotonically non-increasing and the label SUM strictly
+    decreases until the fixpoint — comparing sums (exact, as
+    decimal(38,0): no int64 overflow for any realistic id range)
+    detects convergence with one combiner-friendly aggregation per
+    round instead of a self-join + filter + count."""
     if on_nonconverged not in ("raise", "warn"):
         raise ValueError(
             f"on_nonconverged must be 'raise' or 'warn', "
             f"got {on_nonconverged!r}")
+    if max_iters < 1:
+        raise ValueError(
+            f"max_iters must be >= 1 (a verification round is needed "
+            f"even for a converged graph), got {max_iters}")
     ab = edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
     bidir = ab.unionByName(
         ab.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -179,6 +196,12 @@ def connected_components(edges: DataFrame, a: str = "a", b: str = "b",
               .withColumn("component", F.col("node"))
               .localCheckpoint(eager=True))
 
+    def label_sum(lb):
+        # exact decimal sum — the convergence certificate (docstring)
+        return lb.agg(F.sum(F.col("component").cast("decimal(38,0)"))
+                      .alias("s")).collect()[0]["s"]
+
+    prev_sum = label_sum(labels)
     changed = 0
     for _ in range(max_iters):
         nbr = (bidir.join(labels, bidir["src"] == labels["node"])
@@ -186,15 +209,14 @@ def connected_components(edges: DataFrame, a: str = "a", b: str = "b",
         new = (labels.unionByName(nbr)
                .groupBy("node").agg(F.min("component").alias("component"))
                .localCheckpoint(eager=True))
-        changed = (new.join(labels.withColumnRenamed("component", "_old"),
-                            "node")
-                   .filter(F.col("component") != F.col("_old")).count())
-        labels = new
+        new_sum = label_sum(new)
+        changed = 0 if new_sum == prev_sum else 1
+        labels, prev_sum = new, new_sum
         if changed == 0:
             break
     if changed != 0:
         msg = (f"connected_components did not converge within "
-               f"max_iters={max_iters}: {changed} labels still changing "
+               f"max_iters={max_iters}: labels still changing "
                f"(a component's diameter exceeds the round budget; raise "
                f"max_iters or use star contraction)")
         if on_nonconverged == "raise":

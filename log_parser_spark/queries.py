@@ -32,6 +32,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet for the regex/HOF-heavy curation passes.
+
+    The testdata file is ONE parquet row group, and a row group is the
+    unit of scan splitting — so any map-heavy projection built directly
+    on the scan runs as a SINGLE task regardless of cluster width
+    (guide §2.5 input skew: one huge unsplittable file).  Repartition
+    by doc_id right after the read: a few MB of shuffle buys
+    full-width parallelism for passes that cost ~100 us/doc of regex
+    work (measured at sf1.0: doc_quality 3.4 s -> sub-second).  The
+    partition count follows defaultParallelism, i.e. the cluster
+    width, not a constant.  At 100 TB the corpus arrives as many
+    splits and this spread is unnecessary but stays linear (one
+    key-shuffle of the input); single-file drops are exactly where it
+    is load-bearing."""
+    n = spark.sparkContext.defaultParallelism
+    return (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .repartition(n, F.col("doc_id")))
+
+
 # --------------------------------------------------------------- TPC-H-ish
 
 def q1_pricing_summary(spark, sf_dir):
@@ -304,7 +324,7 @@ FROM documents GROUP BY 1
 
 
 def token_stats_by_lang(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     toks = docs.select("lang", text.token_count_col("text").alias("n_tok"))
     return toks.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
@@ -330,7 +350,7 @@ def bpe_token_stats(spark, sf_dir):
     """BPE-ish token counting (GPT-2-style piece regex, pure codegen)
     rolled up per language — the LLM-budget estimator companion to the
     whitespace token counter."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     toks = docs.select(
         "lang", text.bpe_token_count_col("text").alias("n_bpe"))
     return toks.groupBy("lang").agg(
@@ -354,7 +374,7 @@ FROM t GROUP BY lang
 
 
 def doc_quality(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     return text.quality_columns(docs).select(
         "doc_id", "n_bytes", "n_tokens", "punct_ratio", "digit_ratio",
         "upper_ratio", "stopword_ratio", "quality_score")
@@ -399,7 +419,7 @@ FROM r
 
 
 def lang_id_counts(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     return (text.stopword_lang_id(docs)
             .groupBy("pred_lang").agg(F.count("*").alias("n_docs")))
 
@@ -469,7 +489,7 @@ def corpus_cleaning(spark, sf_dir):
     reason — every stage SQL-expressible, so the whole composition is
     oracle-checked."""
     from log_parser_spark.ops.cleaning import corpus_cleaning_flags
-    return corpus_cleaning_flags(_t(spark, sf_dir, "documents"))
+    return corpus_cleaning_flags(_docs_spread(spark, sf_dir))
 
 
 CORPUS_CLEANING_SQL = f"""

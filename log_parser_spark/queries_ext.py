@@ -739,7 +739,8 @@ def gopher_quality(spark, sf_dir):
     (ops/text.gopher_quality_columns): rule metrics + the pass flag,
     pure codegen so a 100 TB filtering pass stays JVM-side."""
     from log_parser_spark.ops import text as T
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from log_parser_spark.queries import _docs_spread
+    docs = _docs_spread(spark, sf_dir)
     return T.gopher_quality_columns(docs).select(
         "doc_id", "n_words", "mean_word_len", "symbol_word_ratio",
         "bullet_line_ratio", "ellipsis_line_ratio", "alpha_word_ratio",
@@ -802,7 +803,8 @@ def gopher_repetition(spark, sf_dir):
     most-frequent-bigram char coverage, single codegen projection (the
     bigram max is a sort + linear fold, never per-distinct-gram)."""
     from log_parser_spark.ops import text as T
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from log_parser_spark.queries import _docs_spread
+    docs = _docs_spread(spark, sf_dir)
     return T.gopher_repetition_columns(docs).select(
         "doc_id", "n_lines", "dup_line_ratio", "dup_line_char_ratio",
         "top_bigram_char_ratio", "repetition_pass")
@@ -924,8 +926,8 @@ def c4_clean(spark, sf_dir):
     verdict, and the md5 of the cleaned text — the md5 pins the
     line-filter semantics across engines."""
     from log_parser_spark.ops import cleaning
-    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
-            .select("doc_id", "text"))
+    from log_parser_spark.queries import _docs_spread
+    docs = _docs_spread(spark, sf_dir).select("doc_id", "text")
     out = cleaning.c4_clean_columns(docs)
     return out.select(
         "doc_id", "n_lines_total", "n_lines_kept", "n_sentences",
@@ -984,8 +986,8 @@ def curation_yield(spark, sf_dir):
     engines must agree on."""
     from log_parser_spark.ops import cleaning, sampling
     from log_parser_spark.ops import text as T
-    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
-            .select("doc_id", "lang", "text"))
+    from log_parser_spark.queries import _docs_spread
+    docs = _docs_spread(spark, sf_dir).select("doc_id", "lang", "text")
     docs = docs.withColumn(
         "text",
         F.when(F.pmod("doc_id", F.lit(2)) == 0,
@@ -1054,8 +1056,8 @@ def boilerplate_stats(spark, sf_dir):
     third doc — the op must flag exactly that paragraph (>= 3 distinct
     docs) while every unique body line stays clean."""
     from log_parser_spark.ops import dedup
-    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
-            .select("doc_id", "text"))
+    from log_parser_spark.queries import _docs_spread
+    docs = _docs_spread(spark, sf_dir).select("doc_id", "text")
     planted = docs.withColumn(
         "text",
         F.when(F.pmod("doc_id", F.lit(3)) == 0,
@@ -1098,8 +1100,8 @@ def pii_scrub(spark, sf_dir):
     patterns, which pins the chained-regexp_replace semantics across
     engines."""
     from log_parser_spark.ops import text as T
-    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
-            .select("doc_id", "text"))
+    from log_parser_spark.queries import _docs_spread
+    docs = _docs_spread(spark, sf_dir).select("doc_id", "text")
     d = F.col("doc_id").cast("string")
     planted = docs.withColumn("text", F.concat(
         "text",
@@ -1485,8 +1487,9 @@ def temperature_mix_weights(spark, sf_dir):
     words."""
     from log_parser_spark.ops import sampling
     from log_parser_spark.ops import text as T
-    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
-            .select("source", T.bpe_token_count_col("text").alias("n_bpe")))
+    from log_parser_spark.queries import _docs_spread
+    docs = _docs_spread(spark, sf_dir).select(
+        "source", T.bpe_token_count_col("text").alias("n_bpe"))
     out = sampling.temperature_mix_weights(
         docs, "source", "n_bpe", alpha=_MIX_ALPHA,
         token_budget=_MIX_TOKEN_BUDGET)
