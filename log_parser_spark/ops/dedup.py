@@ -319,7 +319,8 @@ def minhash_lsh_pairs(df: DataFrame, key: str = "doc_id",
                       text_col: str = "text", num_perm: int = 16,
                       bands: int = 8, k: int = 3,
                       max_bucket_size: int = 256,
-                      with_drop_stats: bool = False):
+                      with_drop_stats: bool = False,
+                      dedup_pairs: bool = True):
     """LSH banding: signature -> band buckets -> within-bucket self-join.
     Returns candidate near-duplicate pairs (a < b) with the fraction of
     matching minhashes (est. Jaccard).
@@ -337,7 +338,17 @@ def minhash_lsh_pairs(df: DataFrame, key: str = "doc_id",
     boilerplate-flood mass.  The drop is NOT silent: pass
     ``with_drop_stats=True`` to also get the accounting DataFrame
     (band, bucket, bucket_size) of every dropped bucket, and surface it
-    per run (the `lsh_drop_accounting` driver query does)."""
+    per run (the `lsh_drop_accounting` driver query does).
+
+    ``dedup_pairs=False`` skips the cross-band pair dedupe: a pair
+    sharing several band buckets is then emitted once PER shared band
+    (est_jaccard identical on every copy).  Only for consumers that
+    de-duplicate downstream anyway — and usually NOT a win even then:
+    true near-dup pairs share most bands (many copies each), and the
+    dropDuplicates exchange doubles as the re-spread of the skewed
+    bucket-join layout (measured at sf1.0: skipping it made the verify
+    stage 2x SLOWER from stragglers).  Kept as an explicit knob so the
+    tradeoff is documented, not rediscovered."""
     exact_pairs, raw_buckets = _minhash_buckets(
         df, key, text_col, num_perm, bands, k)
     buckets = _cap_buckets(raw_buckets, max_bucket_size)
@@ -351,8 +362,9 @@ def minhash_lsh_pairs(df: DataFrame, key: str = "doc_id",
              .select(F.col(f"x.{key}").alias("a"),
                      F.col(f"y.{key}").alias("b"),
                      F.col("x.sig").alias("sig_a"),
-                     F.col("y.sig").alias("sig_b"))
-             .dropDuplicates(["a", "b"]))
+                     F.col("y.sig").alias("sig_b")))
+    if dedup_pairs:
+        pairs = pairs.dropDuplicates(["a", "b"])
     match_frac = (F.size(F.filter(
         F.zip_with("sig_a", "sig_b", lambda x_, y_: (x_ == y_).cast("int")),
         lambda v: v == 1)) / F.lit(num_perm)).cast("double")
@@ -509,6 +521,67 @@ def ngram_jaccard(df_pairs: DataFrame, left_text: str, right_text: str,
         "jaccard",
         F.round(F.when(union > 0, inter / union).otherwise(0.0), 6)
     ).drop("_sa", "_sb")
+
+
+def ngram_jaccard_by_id(pairs: DataFrame, docs: DataFrame,
+                        key: str = "doc_id", text_col: str = "text",
+                        k: int = 3, a: str = "a", b: str = "b",
+                        docs_join: str = "auto",
+                        max_broadcast_docs: int = 2_000_000) -> DataFrame:
+    """Exact word-k-gram Jaccard for candidate pairs that reference
+    documents BY ID — the verify stage of the LSH near-dup pipelines.
+
+    ngram_jaccard (the pre-paired-texts variant) re-tokenizes and
+    re-shingles BOTH texts once per pair, which is quadratic redundancy
+    when candidate generation emits many pairs per document: at sf1.0
+    the pipeline query's 10.07M LSH candidates over 50k docs re-shingled
+    every doc ~400x (~78 s of a 86 s query).  Here the distinct shingle
+    set is computed ONCE per document (one row per doc, guide §8:
+    decide with small rows), attached to each pair side by id, and the
+    per-pair work drops to one array_intersect of two prebuilt sets.
+
+    Join strategy is CHECKED, not assumed (the ngram_contamination
+    pattern): with ``docs_join='auto'`` the doc count is probed first
+    and the per-doc shingle table broadcasts only when it is small
+    enough to hold in executor memory; above ``max_broadcast_docs`` it
+    falls back to two shuffle joins on the pair-side ids, which stays
+    linear at 100 TB.  Pass ``'broadcast'``/``'shuffle'`` to pin.
+
+    Returns the pair rows + ``jaccard``, numerically IDENTICAL to
+    ngram_jaccard: |sa n sb| / |sa u sb| over distinct shingle sets
+    (union via |sa| + |sb| - |sa n sb| — equal because both sides are
+    distinct), rounded to 6; pairs of shingle-less docs score 0.0."""
+    if docs_join not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(
+            f"docs_join must be 'auto', 'broadcast' or 'shuffle', "
+            f"got {docs_join!r}")
+    if docs_join == "auto":
+        docs_join = ("broadcast" if docs.count() <= max_broadcast_docs
+                     else "shuffle")
+    n_out = docs.sparkSession.sparkContext.defaultParallelism
+    # the shingle stage is deliberately NOT checkpointed between the
+    # two pair sides: materializing 1 KB shingle arrays per doc costs
+    # more than the second tokenize pass saves (A/B measured at sf1.0:
+    # 12.9-13.3 s with a lazy checkpoint vs 11.3-12.9 s without)
+    sh = (docs.select(key, text_col).repartition(n_out, F.col(key))
+          .withColumn("_toks", tokens_col(text_col))
+          .select(key, F.array_distinct(
+              shingles_from_tokens("_toks", k)).alias("_s")))
+    sa = sh.select(F.col(key).alias(a), F.col("_s").alias("_sa"))
+    sb = sh.select(F.col(key).alias(b), F.col("_s").alias("_sb"))
+    if docs_join == "broadcast":
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
+    # stage the intersection size as its own column so it is computed
+    # once per pair (it feeds both the ratio and the union term)
+    staged = (pairs.join(sa, a).join(sb, b)
+              .withColumn("_inter", F.size(F.array_intersect("_sa", "_sb"))
+                          .cast("double")))
+    union = (F.size("_sa") + F.size("_sb")).cast("double") - F.col("_inter")
+    return (staged.withColumn(
+        "jaccard",
+        F.round(F.when(union > 0, F.col("_inter") / union)
+                .otherwise(0.0), 6))
+        .drop("_sa", "_sb", "_inter"))
 
 
 def boilerplate_paragraphs(docs: DataFrame, key: str = "doc_id",

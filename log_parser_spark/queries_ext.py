@@ -1279,27 +1279,24 @@ def dedup_cluster_assignment(spark, sf_dir):
 def _cluster_assignment_edges(spark, planted):
     """Edge construction for dedup_cluster_assignment, exposed so
     tests/test_plans.py can pin its plan SHAPE (the checkpoint barrier
-    below is a measured 15-30x cliff if refactored away)."""
+    below is a measured 15-30x cliff if refactored away).
+
+    Pair set: (doc_id, doc_id + 1) where both ends exist — the by-id
+    verify's inner joins reproduce exactly the old text-level
+    a.join(b, b == a + 1), while shingling each doc once instead of
+    once per pair side (ops/dedup.ngram_jaccard_by_id; the per-doc
+    shingle stage key-repartitions first, which keeps the heavy HOF
+    work off the single-task scan — the small-bytes/heavy-compute trap
+    from PLANS.md).
+
+    The localCheckpoint barrier before the threshold filter is still
+    load-bearing: predicate pushdown would substitute the filter
+    through the staging projections and re-inline the jaccard tree
+    (the filter-side sibling of the HOF-no-CSE rule in PLANS.md)."""
     from log_parser_spark.ops import dedup
-    a = planted.select(F.col("doc_id").alias("a"),
-                       F.col("text").alias("text_a"))
-    b = planted.select(F.col("doc_id").alias("b"),
-                       F.col("text").alias("text_b"))
-    # explicit repartition between the pair join and the jaccard HOFs:
-    # the joined texts are few MB, so AQE would coalesce the exchange
-    # to one task and serialize the shingle work (measured 49 s -> ~3 s
-    # at sf0.1 — the small-bytes/heavy-compute trap from PLANS.md)
-    n_out = spark.sparkContext.defaultParallelism
-    pairs = (a.join(b, F.col("b") == F.col("a") + 1)
-             .repartition(n_out, F.col("a")))
-    # checkpoint the scored pairs BEFORE filtering: predicate pushdown
-    # substitutes the filter through the staging projections, which
-    # re-inlines the jaccard HOF tree with every internal reference
-    # re-expanded (measured 49 s vs ~3 s at sf0.1 — the filter-side
-    # sibling of the HOF-no-CSE rule in PLANS.md).  The scored pair
-    # table is one row per candidate pair — tiny — and the iterative
-    # CC consumer re-reads it anyway.
-    jac = (dedup.ngram_jaccard(pairs, "text_a", "text_b")
+    pairs = planted.select(F.col("doc_id").alias("a"),
+                           (F.col("doc_id") + 1).alias("b"))
+    jac = (dedup.ngram_jaccard_by_id(pairs, planted)
            .select("a", "b", "jaccard").localCheckpoint(eager=False))
     return jac.filter(F.col("jaccard") >= 0.2).select("a", "b")
 
@@ -1401,18 +1398,22 @@ def dedup_pipeline_clusters(spark, sf_dir):
 def _pipeline_cluster_edges(spark, planted):
     """Edge construction for dedup_pipeline_clusters (LSH candidates ->
     exact-jaccard verify), exposed so tests/test_plans.py can pin the
-    checkpoint-barrier plan shape (PLANS.md round-5 rule)."""
+    checkpoint-barrier plan shape (PLANS.md round-5 rule).
+
+    The verify is the BY-ID variant (ops/dedup.ngram_jaccard_by_id):
+    per-doc shingle sets computed once and attached to each candidate
+    side by id, instead of joining both full texts and re-shingling
+    them per pair — at sf1.0 the LSH stage emits 10.07M candidates
+    over 50k docs, so the per-pair re-shingle was ~400x redundant
+    (measured 78 s -> ~3 s for the verify stage)."""
     from log_parser_spark.ops import dedup
+    # dedup_pairs stays True: the dropDuplicates both collapses the
+    # per-shared-band copies of true pairs (a j>=0.5 pair shares MANY
+    # bands) and re-spreads the skewed bucket-join layout before the
+    # verify (measured 13.6 s vs 27.7 s for the edge stage without it)
     cand = (dedup.minhash_lsh_pairs(planted, num_perm=16, bands=16)
             .select("a", "b"))
-    ta = planted.select(F.col("doc_id").alias("a"),
-                        F.col("text").alias("text_a"))
-    tb = planted.select(F.col("doc_id").alias("b"),
-                        F.col("text").alias("text_b"))
-    n_out = spark.sparkContext.defaultParallelism
-    joined = (cand.join(ta, "a").join(tb, "b")
-              .repartition(n_out, F.col("a")))
-    jac = (dedup.ngram_jaccard(joined, "text_a", "text_b")
+    jac = (dedup.ngram_jaccard_by_id(cand, planted)
            .select("a", "b", "jaccard").localCheckpoint(eager=False))
     return jac.filter(F.col("jaccard") >= 0.5).select("a", "b")
 

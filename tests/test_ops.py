@@ -76,6 +76,47 @@ def test_ngram_jaccard(docs, spark):
     assert out[(5, 6)] == 0.0
 
 
+def test_ngram_jaccard_by_id_matches_pairwise(docs, spark):
+    """The by-id verify (round-7 optimization: per-doc shingle sets
+    computed once, attached by id) must score every pair EXACTLY like
+    the pre-paired-texts ngram_jaccard — same inner-join pair set,
+    same jaccard to 6 decimals, including the empty-shingle 0.0 edge
+    case."""
+    a = docs.select(F.col("doc_id").alias("a"), F.col("text").alias("ta"))
+    b = docs.select(F.col("doc_id").alias("b"), F.col("text").alias("tb"))
+    tpairs = a.join(b, F.col("b") == F.col("a") + 1)
+    want = {(r["a"], r["b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard(tpairs, "ta", "tb").collect()}
+    ids = docs.select(F.col("doc_id").alias("a"),
+                      (F.col("doc_id") + 1).alias("b"))
+    for strategy in ("broadcast", "shuffle"):
+        got = {(r["a"], r["b"]): r["jaccard"]
+               for r in dedup.ngram_jaccard_by_id(
+                   ids, docs, docs_join=strategy).collect()}
+        assert got == want, strategy
+    with pytest.raises(ValueError):
+        dedup.ngram_jaccard_by_id(ids, docs, docs_join="psychic")
+
+
+def test_minhash_lsh_pairs_dedup_flag(docs):
+    """dedup_pairs=False emits one copy per shared band; the DISTINCT
+    pair set and every est_jaccard must equal the deduped output."""
+    dd = dedup.minhash_lsh_pairs(docs).collect()
+    raw = dedup.minhash_lsh_pairs(docs, dedup_pairs=False).collect()
+    assert len(raw) >= len(dd)
+    want = {(r["a"], r["b"]): r["est_jaccard"] for r in dd}
+    got = {}
+    for r in raw:
+        got.setdefault((r["a"], r["b"]), set()).add(r["est_jaccard"])
+    assert {k: {v} for k, v in want.items()} == got
+
+
+def test_connected_components_max_iters_guard(spark):
+    edges = spark.createDataFrame([(1, 2)], ["a", "b"])
+    with pytest.raises(ValueError, match="max_iters"):
+        dedup.connected_components(edges, max_iters=0)
+
+
 def test_lang_id(docs):
     out = {r["doc_id"]: r["pred_lang"]
            for r in text.stopword_lang_id(docs).collect()}
