@@ -35,6 +35,11 @@ def get_spark(app_name: str = "log-parser-spark", cores: int | None = None,
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # zstd for every parquet write (guide §6): measured faster to
+        # WRITE than snappy for the records artifact (interleaved A/B:
+        # 5.2/5.1/4.8 s vs 6.2/5.6/5.3 s) and ~30% smaller (17.3 vs
+        # 24.8 MB), which also shrinks every sink's records re-scan
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -206,9 +206,12 @@ def connected_components(edges: DataFrame, a: str = "a", b: str = "b",
     for _ in range(max_iters):
         nbr = (bidir.join(labels, bidir["src"] == labels["node"])
                .select(F.col("dst").alias("node"), "component"))
+        # lazy checkpoint: the label_sum action right below materializes
+        # the blocks, so each round costs ONE job, not two (the barrier
+        # still cuts lineage exactly the same)
         new = (labels.unionByName(nbr)
                .groupBy("node").agg(F.min("component").alias("component"))
-               .localCheckpoint(eager=True))
+               .localCheckpoint(eager=False))
         new_sum = label_sum(new)
         changed = 0 if new_sum == prev_sum else 1
         labels, prev_sum = new, new_sum

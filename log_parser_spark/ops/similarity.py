@@ -29,22 +29,37 @@ def cosine_col(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+# Norm hoisting (round-7): cosine_col evaluates BOTH norms per PAIR,
+# so a corpus row scored against 16 centroids folds its own norm 16x
+# through the interpreted aggregate lambda.  The *_pre variants take
+# norms precomputed once per row (hoisted into a projection BELOW the
+# pairing join, where a projection boundary stops CollapseProject from
+# re-inlining them) — numerically identical: the same fold produces
+# the same double, hoisting only changes how often it runs.
+def cosine_pre(a, b, na, nb):
+    return _dot(a, b) / (na * nb)
+
+
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                      key: str = "vec_id", vec_col: str = "embedding"
                      ) -> DataFrame:
     """Exact cosine top-k: broadcast the (small) query side against the
     corpus, window-rank per query.  Deterministic tie-break on
     (sim desc, neighbor asc)."""
-    q = queries.select(F.col(key).alias("query_id"),
-                       F.col(vec_col).alias("qv"))
+    q = (queries.select(F.col(key).alias("query_id"),
+                        F.col(vec_col).alias("qv"))
+         .withColumn("_qn", _norm(F.col("qv"))))
     # small parquet inputs arrive single-partition; spread the corpus so
     # the scoring crossJoin parallelizes
-    c = corpus.select(F.col(key).alias("neighbor_id"),
-                      F.col(vec_col).alias("cv")).repartition(
+    c = (corpus.select(F.col(key).alias("neighbor_id"),
+                       F.col(vec_col).alias("cv")).repartition(
         corpus.sparkSession.sparkContext.defaultParallelism, F.col(key))
+        .withColumn("_cn", _norm(F.col("cv"))))
     scored = (F.broadcast(q).crossJoin(c)
               .filter(F.col("query_id") != F.col("neighbor_id"))
-              .withColumn("cosine", F.round(cosine_col("qv", "cv"), 6)))
+              .withColumn("cosine", F.round(
+                  cosine_pre(F.col("qv"), F.col("cv"),
+                             F.col("_qn"), F.col("_cn")), 6)))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -110,14 +125,24 @@ def brute_force_topk_arrow(corpus: DataFrame, queries: DataFrame,
 
 def _nearest_assignment(corpus, seeds, key, vec_col):
     corpus = corpus.repartition(
-        corpus.sparkSession.sparkContext.defaultParallelism, F.col(key))
+        corpus.sparkSession.sparkContext.defaultParallelism,
+        F.col(key)).withColumn("_vn", _norm(F.col(vec_col)))
+    seeds = seeds.withColumn("_sn", _norm(F.col("centroid")))
     assigned = (corpus.crossJoin(F.broadcast(seeds))
-                .withColumn("sim", cosine_col(vec_col, "centroid")))
-    w = Window.partitionBy(key).orderBy(F.col("sim").desc(),
-                                        F.col("centroid_id"))
-    return (assigned.withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") == 1)
-            .select(key, vec_col, "centroid_id"))
+                .withColumn("sim", cosine_pre(
+                    F.col(vec_col), F.col("centroid"),
+                    F.col("_vn"), F.col("_sn"))))
+    # argmax as a combiner-friendly max_by instead of a sort window:
+    # ordering struct (sim, -centroid_id) picks max sim with ties to
+    # the SMALLEST centroid_id — exactly the old row_number orderBy
+    # (sim desc, centroid_id asc) pick (struct comparison and sort use
+    # the same NaN-greatest total order on doubles)
+    best = assigned.groupBy(key).agg(F.max_by(
+        F.struct(F.col(vec_col).alias("v"), F.col("centroid_id")),
+        F.struct(F.col("sim"), (-F.col("centroid_id")).alias("nc")))
+        .alias("_b"))
+    return best.select(key, F.col("_b.v").alias(vec_col),
+                       F.col("_b.centroid_id").alias("centroid_id"))
 
 
 def ivf_assign(corpus: DataFrame, n_centroids: int = 16,
@@ -163,6 +188,15 @@ def ivf_assign(corpus: DataFrame, n_centroids: int = 16,
         if n > refine_sample_rows:
             refine_src = corpus.sample(
                 fraction=refine_sample_rows / n, seed=42)
+        # keep the current centroid positions driver-side (n_centroids
+        # rows — tiny) so each Lloyd round needs ONE action (the means
+        # collect), not a second seeds.collect round-trip.  Collected
+        # floats widen to double exactly as the previous in-plan
+        # cast(float as double) did, so sims are bit-identical.
+        prev = {r["centroid_id"]: [float(v) for v in r["centroid"]]
+                for r in seeds.collect()}
+        seeds = spark.createDataFrame(
+            sorted(prev.items()), "centroid_id int, centroid array<double>")
 
     for _ in range(max(0, n_iters)):
         assignments = _nearest_assignment(refine_src, seeds, key, vec_col)
@@ -175,14 +209,13 @@ def ivf_assign(corpus: DataFrame, n_centroids: int = 16,
         by_cid: dict[int, dict[int, float]] = {}
         for r in rows:
             by_cid.setdefault(r["centroid_id"], {})[r["dim"]] = r["m"]
-        prev = {r["centroid_id"]: list(r["centroid"])
-                for r in seeds.collect()}
         new_rows = []
         for cid, vec in prev.items():
             dims = by_cid.get(cid)
             if dims:
                 vec = [float(dims[i]) for i in range(len(vec))]
             new_rows.append((cid, vec))
+        prev = dict(new_rows)
         seeds = spark.createDataFrame(
             new_rows, "centroid_id int, centroid array<double>")
 
@@ -197,22 +230,32 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     buckets.  Approximate but bucket-bounded — the 100 TB path."""
     assignments, seeds = ivf_assign(corpus, n_centroids, key, vec_col)
 
-    q = queries.select(F.col(key).alias("query_id"),
-                       F.col(vec_col).alias("qv"))
-    q_probe = (q.crossJoin(F.broadcast(seeds))
-               .withColumn("sim", cosine_col("qv", "centroid")))
+    q = (queries.select(F.col(key).alias("query_id"),
+                        F.col(vec_col).alias("qv"))
+         .withColumn("_qn", _norm(F.col("qv"))))
+    q_probe = (q.crossJoin(F.broadcast(
+        seeds.withColumn("_sn", _norm(F.col("centroid")))))
+        .withColumn("sim", cosine_pre(F.col("qv"), F.col("centroid"),
+                                      F.col("_qn"), F.col("_sn"))))
     wq = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
                                                 F.col("centroid_id"))
     probes = (q_probe.withColumn("_r", F.row_number().over(wq))
               .filter(F.col("_r") <= n_probe)
-              .select("query_id", "qv", "centroid_id"))
+              .select("query_id", "qv", "_qn", "centroid_id"))
 
-    cand = probes.join(
+    # broadcast the probe side (n_queries x n_probe rows — tiny by
+    # construction): the corpus-sized assignments table then streams
+    # through the join unshuffled instead of hash-partitioning on the
+    # n_centroids-valued key (16 distinct values = guaranteed skew)
+    cand = F.broadcast(probes).join(
         assignments.select(F.col(key).alias("neighbor_id"),
-                           F.col(vec_col).alias("cv"), "centroid_id"),
+                           F.col(vec_col).alias("cv"), "centroid_id")
+        .withColumn("_cn", _norm(F.col("cv"))),
         "centroid_id")
     scored = (cand.filter(F.col("query_id") != F.col("neighbor_id"))
-              .withColumn("cosine", F.round(cosine_col("qv", "cv"), 6)))
+              .withColumn("cosine", F.round(
+                  cosine_pre(F.col("qv"), F.col("cv"),
+                             F.col("_qn"), F.col("_cn")), 6)))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))

@@ -82,13 +82,23 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q3_top_orders(spark, sf_dir):
-    """Join + agg + deterministic top-k (SURVEY §2.6)."""
+    """Join + agg + deterministic top-k (SURVEY §2.6).
+
+    Join order (guide §3.1/§3.2): customer's BUILDING filter is the
+    selective one, so it reduces orders FIRST (broadcast semi-shape,
+    ~1/5 of orders survive) and only the reduced orders table is
+    broadcast against lineitem — the big fact table is never shuffled
+    and the large broadcast build shrinks ~5x (the previous shape
+    broadcast ALL of orders, then filtered by customer after).
+    Inner joins commute, so the result is unchanged."""
     c = _t(spark, sf_dir, "customer").filter(
-        F.col("c_mktsegment") == "BUILDING")
+        F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    rev = (li.join(o, li.l_orderkey == o.o_orderkey)
-           .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    o_building = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority")
+    rev = (li.join(F.broadcast(o_building),
+                   li.l_orderkey == o_building.o_orderkey)
            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
            .agg(F.round(F.sum(F.col("l_extendedprice")
                               * (1 - F.col("l_discount"))), 2)
