@@ -357,9 +357,14 @@ def minhash_lsh_pairs(df: DataFrame, key: str = "doc_id",
     buckets = _cap_buckets(raw_buckets, max_bucket_size)
 
     # true self-join (both sides the IDENTICAL plan, renamed only after
-    # the join) so Spark's ReuseExchange kicks in — otherwise the whole
-    # shingle->minhash->band pipeline is computed twice
-    x, y = buckets.alias("x"), buckets.alias("y")
+    # the join) with a SHUFFLE_HASH hint: the planner would otherwise
+    # pick a broadcast join here, and a BroadcastExchange can never
+    # reuse the stream side's plan — the whole shingle->minhash->band
+    # pipeline then runs TWICE (build + stream).  With a shuffled join
+    # both sides need the same hashpartitioning(bb) exchange that the
+    # _cap_buckets window already established, so ReuseExchange
+    # computes the pipeline once (A/B at sf1.0: 2.0 -> 1.7 s)
+    x, y = buckets.alias("x"), buckets.alias("y").hint("shuffle_hash")
     pairs = (x.join(y, F.col("x.bb") == F.col("y.bb"))
              .filter(F.col(f"x.{key}") < F.col(f"y.{key}"))
              .select(F.col(f"x.{key}").alias("a"),
@@ -489,7 +494,8 @@ def simhash_pairs(df: DataFrame, key: str = "doc_id",
         *[band(i) for i in range(nb)])).alias("bb"))
     buckets = _cap_buckets(raw_buckets, max_bucket_size)
 
-    x, y = buckets.alias("x"), buckets.alias("y")
+    # shuffle-hash for the same ReuseExchange reason as minhash_lsh_pairs
+    x, y = buckets.alias("x"), buckets.alias("y").hint("shuffle_hash")
     pairs = (x.join(y, F.col("x.bb") == F.col("y.bb"))
              .filter(F.col(f"x.{key}") < F.col(f"y.{key}"))
              .select(F.col(f"x.{key}").alias("a"),
@@ -687,8 +693,9 @@ def embedding_cosine_dedup(emb: DataFrame, key: str = "vec_id",
     buckets = _cap_buckets(sig, max_bucket_size)
 
     # true self-join (both sides the IDENTICAL plan, renamed only after
-    # the join) so ReuseExchange computes the signature pipeline once
-    x, y = buckets.alias("x"), buckets.alias("y")
+    # the join), shuffle-hash so ReuseExchange computes the signature
+    # pipeline once (see minhash_lsh_pairs)
+    x, y = buckets.alias("x"), buckets.alias("y").hint("shuffle_hash")
     pairs = (x.join(y, F.col("x.bb") == F.col("y.bb"))
              .filter(F.col(f"x.{key}") < F.col(f"y.{key}"))
              .select(F.col(f"x.{key}").alias("a"),
