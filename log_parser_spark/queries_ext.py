@@ -1253,8 +1253,8 @@ def dedup_cluster_assignment(spark, sf_dir):
     recursive CTE — an exact cross-engine check of an iterative graph
     algorithm."""
     from log_parser_spark.ops import dedup
-    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
-            .select("doc_id", "text"))
+    from log_parser_spark.queries import _docs_spread
+    docs = _docs_spread(spark, sf_dir).select("doc_id", "text")
     g = F.floor(F.col("doc_id") / 10).cast("long")
     k = F.pmod("doc_id", F.lit(10))
 
@@ -1378,8 +1378,8 @@ def dedup_pipeline_clusters(spark, sf_dir):
     the jaccard HOFs, localCheckpoint barrier before the threshold
     filter."""
     from log_parser_spark.ops import dedup
-    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
-            .select("doc_id", "text"))
+    from log_parser_spark.queries import _docs_spread
+    docs = _docs_spread(spark, sf_dir).select("doc_id", "text")
     g = F.floor(F.col("doc_id") / 25).cast("long")
     k = F.pmod("doc_id", F.lit(25))
     start = k.cast("long") * 12
