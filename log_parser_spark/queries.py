@@ -460,14 +460,14 @@ SELECT pred_lang, count(*) AS n_docs FROM p GROUP BY 1
 
 def ngram_jaccard_adjacent(spark, sf_dir):
     """Near-dup scoring for bucketed candidate pairs; here the
-    deterministic pair set (doc_id, doc_id+1)."""
-    docs = _t(spark, sf_dir, "documents")
-    a = docs.select(F.col("doc_id").alias("a"),
-                    F.col("text").alias("text_a"))
-    b = docs.select(F.col("doc_id").alias("b"),
-                    F.col("text").alias("text_b"))
-    pairs = a.join(b, F.col("b") == F.col("a") + 1)
-    return dedup.ngram_jaccard(pairs, "text_a", "text_b").select(
+    deterministic pair set (doc_id, doc_id+1).  Uses the by-id verify
+    (shingle sets built once per doc, not once per pair side — the
+    inner joins reproduce the old a.join(b, b == a + 1) pair set
+    exactly): 7.9 s -> ~1 s at sf1.0."""
+    docs = _docs_spread(spark, sf_dir)
+    pairs = docs.select(F.col("doc_id").alias("a"),
+                        (F.col("doc_id") + 1).alias("b"))
+    return dedup.ngram_jaccard_by_id(pairs, docs).select(
         "a", "b", "jaccard")
 
 

@@ -995,6 +995,15 @@ def curation_yield(spark, sf_dir):
         .otherwise(F.col("text")))
     z = cleaning.c4_clean_columns(
         T.gopher_repetition_columns(T.gopher_quality_columns(docs)))
+    # localCheckpoint barrier before the verdict filter (the PLANS.md
+    # filter-side HOF-no-CSE rule): pushing the three pass flags into
+    # a Filter re-inlines EVERY rule's metric tree with each internal
+    # reference re-expanded — measured 73 s vs ~3 s at sf1.0.  The
+    # barrier row is (doc_id, lang, text, 3 booleans) — one metric
+    # pass, then the filter reads materialized flags.
+    z = (z.select("doc_id", "lang", "text", "gopher_pass",
+                  "repetition_pass", "c4_keep")
+         .localCheckpoint(eager=False))
     passed = z.filter(F.col("gopher_pass") & F.col("repetition_pass")
                       & F.col("c4_keep"))
     kept = sampling.stratified_sample(

@@ -273,6 +273,25 @@ def test_contamination_explode_is_inline(spark):
     assert p.count("Generate explode(CASE WHEN") >= 1
 
 
+def test_curation_yield_filter_sits_on_checkpoint_barrier(spark):
+    """PLANS.md filter-side rule, curation-funnel instance: pushing the
+    three pass flags into a Filter re-inlines every rule's metric HOF
+    tree (measured 73 s vs ~3 s at sf1.0 in round 7).  The verdict
+    filter must sit on the localCheckpoint barrier, with none of the
+    heavy metric constructions above it."""
+    from log_parser_spark.queries_ext import curation_yield
+    p = plan(curation_yield(spark, "/root/testdata/sf0.001"))
+    assert "ExistingRDD" in p, (
+        "curation_yield: checkpoint barrier missing — the flag filter "
+        "is exposed to predicate pushdown")
+    # heavy metric constructions (sorted-bigram fold, line/token HOFs)
+    # must be entirely BEHIND the checkpoint; the only expression work
+    # above it is the bpe regexp_count and the sampling md5
+    for marker in ("array_sort(", "aggregate(filter(", "RLIKE("):
+        assert marker not in p, (
+            f"curation_yield: {marker} re-inlined above the barrier")
+
+
 def test_cluster_edges_filter_sits_on_checkpoint_barrier(spark):
     """PLANS.md round-5 rule, filter side: filtering a
     staged-expression column pushes the predicate through the staging
