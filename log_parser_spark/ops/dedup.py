@@ -191,24 +191,28 @@ def connected_components(edges: DataFrame, a: str = "a", b: str = "b",
     ab = edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
     bidir = ab.unionByName(
         ab.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    bidir = bidir.distinct().localCheckpoint(eager=True)
+    # lazy checkpoints throughout: blocks materialize inside the first
+    # job that reads them (round 1's sum action), so the loop costs ONE
+    # job per round and zero setup jobs, with the same lineage barriers
+    bidir = bidir.distinct().localCheckpoint(eager=False)
     labels = (bidir.select(F.col("src").alias("node")).distinct()
               .withColumn("component", F.col("node"))
-              .localCheckpoint(eager=True))
+              .localCheckpoint(eager=False))
 
     def label_sum(lb):
         # exact decimal sum — the convergence certificate (docstring)
         return lb.agg(F.sum(F.col("component").cast("decimal(38,0)"))
                       .alias("s")).collect()[0]["s"]
 
-    prev_sum = label_sum(labels)
+    # no separate job for the initial sum: round 1 is always treated as
+    # changed (with any a != b edge it IS — every node still holds its
+    # own label; a degenerate self-loop-only graph just converges one
+    # verification round later)
+    prev_sum = None
     changed = 0
     for _ in range(max_iters):
         nbr = (bidir.join(labels, bidir["src"] == labels["node"])
                .select(F.col("dst").alias("node"), "component"))
-        # lazy checkpoint: the label_sum action right below materializes
-        # the blocks, so each round costs ONE job, not two (the barrier
-        # still cuts lineage exactly the same)
         new = (labels.unionByName(nbr)
                .groupBy("node").agg(F.min("component").alias("component"))
                .localCheckpoint(eager=False))
