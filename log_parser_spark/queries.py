@@ -334,7 +334,12 @@ FROM documents GROUP BY 1
 
 
 def token_stats_by_lang(spark, sf_dir):
-    docs = _docs_spread(spark, sf_dir)
+    # deliberately NOT _docs_spread: for this light one-agg query the
+    # extra exchange + AQE stages cost more in cold planning/codegen
+    # than the parallel tokenize saves (cold A/B: spread ~1.3 s vs
+    # plain ~1.1 s; warm 0.46 vs 0.65 — and the driver's protocol
+    # runs each query once per process, i.e. cold)
+    docs = _t(spark, sf_dir, "documents")
     toks = docs.select("lang", text.token_count_col("text").alias("n_tok"))
     return toks.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
@@ -360,7 +365,8 @@ def bpe_token_stats(spark, sf_dir):
     """BPE-ish token counting (GPT-2-style piece regex, pure codegen)
     rolled up per language — the LLM-budget estimator companion to the
     whitespace token counter."""
-    docs = _docs_spread(spark, sf_dir)
+    # plain read: same cold-vs-warm tradeoff as token_stats_by_lang
+    docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         "lang", text.bpe_token_count_col("text").alias("n_bpe"))
     return toks.groupBy("lang").agg(

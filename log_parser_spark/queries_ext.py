@@ -1497,9 +1497,12 @@ def temperature_mix_weights(spark, sf_dir):
     words."""
     from log_parser_spark.ops import sampling
     from log_parser_spark.ops import text as T
-    from log_parser_spark.queries import _docs_spread
-    docs = _docs_spread(spark, sf_dir).select(
-        "source", T.bpe_token_count_col("text").alias("n_bpe"))
+    # plain read, deliberately not _docs_spread: cold A/B measured the
+    # spread variant ~0.9 s SLOWER (2.1-2.3 vs 1.1-1.4 s) from extra
+    # plan/codegen stages, for a ~0.1 s warm gain — and the driver's
+    # protocol runs each query once per process (cold)
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("source", T.bpe_token_count_col("text").alias("n_bpe")))
     out = sampling.temperature_mix_weights(
         docs, "source", "n_bpe", alpha=_MIX_ALPHA,
         token_budget=_MIX_TOKEN_BUDGET)
