@@ -98,36 +98,38 @@ def ngram_contamination(docs: DataFrame, eval_docs: DataFrame,
     # a small parquet input arrives single-partition and would run the
     # whole shingle explode on one task (measured 47 s -> ~2 s at
     # sf0.1), and the explicit count keeps AQE from re-coalescing this
-    # small-bytes/heavy-compute stage; the groupBy(key) after the
-    # explode then needs no shingle-level exchange at all
+    # small-bytes/heavy-compute stage; with the broadcast eval side the
+    # groupBy(key) after the explode then needs no shingle-level
+    # exchange at all
     n_out = docs.sparkSession.sparkContext.defaultParallelism
     toks = (docs.repartition(n_out, F.col(key))
             .withColumn("_toks", tokens_col(text_col)))
     ev_toks = eval_docs.withColumn("_toks", tokens_col(text_col))
     ev = (ev_toks.select(F.explode(F.array_distinct(
         shingles_from_tokens("_toks", k))).alias("_g"))
-        .select(F.md5("_g").alias("h")).distinct())
+        .select(F.md5("_g").alias("h")).distinct()
+        .withColumn("_hit", F.lit(1)))
 
-    # explode the shingle array INLINE in the same select that builds
-    # it (the minhash formulation) — exploding a previously-projected
-    # array column re-evaluates the HOF construction per OUTPUT row
-    # (measured 47 s vs 0.8 s at sf0.1; the Generate-side sibling of
-    # the HOF-no-CSE rule in PLANS.md).  The shingle expression is
-    # therefore built twice (probe + size), each once per input row —
-    # far cheaper than once per shingle.
-    probe = toks.select(key, F.explode(F.array_distinct(
+    # ONE train-side pass (round 7; previously a probe pass + a
+    # separate n_shingles pass + a doc-key join): explode the shingle
+    # array INLINE in the same select that builds it (exploding a
+    # previously-projected array column re-evaluates the HOF
+    # construction per OUTPUT row — measured 47 s vs 0.8 s at sf0.1;
+    # the Generate-side sibling of the HOF-no-CSE rule in PLANS.md),
+    # as explode_OUTER so a zero-shingle doc keeps one NULL-shingle
+    # row (null never joins, and count("h") skips it), then a LEFT
+    # join against the distinct eval set and a single per-doc
+    # aggregate: n_shingles = non-null shingle rows (== the distinct
+    # set's size), n_contaminated = matched rows (ev is distinct, so
+    # the left join cannot multiply rows).
+    probe = toks.select(key, F.explode_outer(F.array_distinct(
         shingles_from_tokens("_toks", k))).alias("_g")) \
         .select(key, F.md5("_g").alias("h"))
     ev_side = F.broadcast(ev) if eval_join == "broadcast" else ev
-    hits = (probe.join(ev_side, "h", "left_semi")
-            .groupBy(key).agg(F.count(F.lit(1)).alias("n_contaminated")))
-    base = toks.select(
-        key, F.size(F.array_distinct(shingles_from_tokens("_toks", k)))
-        .alias("n_shingles"))
-    out = (base.join(hits, key, "left")
-           .select(key, "n_shingles",
-                   F.coalesce("n_contaminated", F.lit(0)).cast("long")
-                   .alias("n_contaminated")))
+    out = (probe.join(ev_side, "h", "left")
+           .groupBy(key).agg(
+               F.count("h").cast("int").alias("n_shingles"),
+               F.count("_hit").cast("long").alias("n_contaminated")))
     return (out.withColumn(
         "contamination_ratio",
         F.round(F.col("n_contaminated")
