@@ -608,28 +608,38 @@ def boilerplate_paragraphs(docs: DataFrame, key: str = "doc_id",
     (navigation, footers, cookie banners).  Returns one row per doc:
     paragraph counts and the char fraction boilerplate covers.
 
-    Scale shape: explode paragraphs once, hash each, ONE groupBy on the
-    paragraph hash (aggregation, so a mega-frequent footer is a single
-    combiner-friendly group — linear, unlike a join), then a shuffle
-    join of the per-(doc, hash) rows against the boilerplate hash set
-    and a final per-doc rollup.  Two shuffles total, both on hash keys;
-    no driver-side state."""
+    Scale shape (round 7: ONE explode pass, and paragraph TEXT never
+    shuffles): explode paragraphs once and immediately reduce to the
+    compact per-(doc, paragraph-hash) aggregate (occurrence count +
+    char sum — a mega-frequent footer is a combiner group, linear).
+    Everything downstream — the distinct-doc frequency, the per-doc
+    rollup, the boilerplate rollup — reads that lazily-checkpointed
+    compact table, so the doc->paragraph expansion is computed once
+    (the old shape re-evaluated it three times and semi-joined full
+    paragraph strings by hash).  Values are unchanged: doc_freq is the
+    row count per hash of a per-(doc, hash) table, and the per-doc
+    sums of per-(doc, hash) counts/chars equal the flat counts/sums."""
     from log_parser_spark.ops.text import NON_WS_CLASS
     paras = (docs.select(key, F.explode(
         F.filter(F.split(F.col(text_col), r"\n"),
                  lambda ln: ln.rlike(NON_WS_CLASS))).alias("para"))
-        .withColumn("ph", F.md5("para")))
-    freq = (paras.groupBy("ph")
-            .agg(F.count_distinct(F.col(key)).alias("doc_freq")))
-    flagged = paras.join(
-        freq.filter(F.col("doc_freq") >= min_doc_freq).select("ph"),
-        "ph", "left_semi").select(key, "para")
-    per_doc = (paras.groupBy(key).agg(
-        F.count(F.lit(1)).alias("n_paras"),
-        F.sum(F.length("para")).alias("_chars")))
-    per_doc_boiler = (flagged.groupBy(key).agg(
-        F.count(F.lit(1)).alias("n_boiler_paras"),
-        F.sum(F.length("para")).alias("_boiler_chars")))
+        .select(key, F.md5("para").alias("ph"),
+                F.length("para").alias("_len")))
+    per_doc_hash = (paras.groupBy(key, "ph")
+                    .agg(F.count(F.lit(1)).alias("_n"),
+                         F.sum("_len").alias("_chars"))
+                    .localCheckpoint(eager=False))
+    boiler_phs = (per_doc_hash.groupBy("ph")
+                  .agg(F.count(F.lit(1)).alias("doc_freq"))
+                  .filter(F.col("doc_freq") >= min_doc_freq)
+                  .select("ph"))
+    per_doc = (per_doc_hash.groupBy(key).agg(
+        F.sum("_n").alias("n_paras"),
+        F.sum("_chars").alias("_chars")))
+    per_doc_boiler = (per_doc_hash.join(boiler_phs, "ph", "left_semi")
+                      .groupBy(key).agg(
+                          F.sum("_n").alias("n_boiler_paras"),
+                          F.sum("_chars").alias("_boiler_chars")))
     out = (per_doc.join(per_doc_boiler, key, "left")
            .select(key, "n_paras",
                    F.coalesce("n_boiler_paras", F.lit(0))
